@@ -1,0 +1,436 @@
+"""Core HMM recursions: forward, backward, posterior, log-likelihood, Viterbi.
+
+TPU-first redesign of the reference's recursion stack
+(``/root/reference/hmm_layer/BaseRNN.py:217-227`` Python time loop,
+``MsaHmmCell.py:73-106`` scaled forward cell, ``Bidirectional.py:113-164``,
+``TotalProbabilityCell.py:30-49`` chunk combine,
+``MsaHMMLayer.py:227-521`` orchestration). Capabilities are identical; the
+architecture is not a port:
+
+* The per-timestep recursion is a ``jax.lax.scan`` over a time-major emission
+  tensor — XLA compiles it to a single fused loop on device; the hot op is a
+  batched ``(m, b, q) @ (m, q, q)`` matmul on the MXU.
+* ``parallel_factor > 1`` activates a **two-pass chunked scan**:
+
+  - **Summary pass** — all ``P`` chunks run batched with a ``q x q``
+    row-scaled carry, producing per-chunk transfer operators
+    ``C_p[i, j] = log P(chunk-p emissions, right-border state j | left-border
+    state i)``. One pass serves *both* directions (the reference runs two).
+  - **Combine** — chunk operators are reduced with a log-matmul
+    ``jax.lax.associative_scan`` (the associative combine the reference
+    implements sequentially in ``TotalProbabilityCell``), yielding exact
+    forward values at every chunk boundary (prefix) and exact backward values
+    (reverse/suffix scan).
+  - **Output pass** — each chunk re-runs a cheap ``q``-vector recursion from
+    its now-known boundary value. Peak memory is ``O(b·L·q)`` instead of the
+    reference's ``O(b·L·q²)`` materialization (``MsaHMMLayer.py:296-315``).
+
+* Viterbi decoding (max-plus semiring + backtrace) is provided — the
+  reference only mentions it (``MsaHmmCell.py:13``) but never implements it.
+
+Shapes and conventions
+----------------------
+``init``: (m, q) linear-space initial state distribution per model.
+``A``:    (m, q, q) linear-space transition matrix per model (rows sum to 1).
+``E``:    (m, b, L, q) linear-space per-state emission probabilities.
+All outputs are in log space. ``m`` = number of models, ``b`` = batch.
+Models with fewer than ``q`` states are padded; padded states must have zero
+emission probability and zero initial probability (the EPS clamp keeps the
+scaled recursion finite, matching ``MsaHmmCell.py:87-88``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .semiring import EPS, logmatmul, maxargmatvec
+
+# The DP recursions are numerically sensitive: on TPU the default matmul
+# precision is bfloat16, whose per-step rounding accumulates linearly in L
+# (observed ~0.13 log-space error at L=1200). Force full f32 MXU passes.
+_PRECISION = lax.Precision.HIGHEST
+
+__all__ = [
+    "forward",
+    "backward",
+    "posterior",
+    "log_likelihood",
+    "viterbi",
+    "ForwardResult",
+]
+
+
+class ForwardResult(NamedTuple):
+    log_alpha: jax.Array  # (m, b, L, q) — log P(x_{1..t}, s_t = j)
+    log_lik: jax.Array  # (m, b) — log P(x_{1..L})
+
+
+def _clamped(x):
+    return jnp.maximum(x, EPS)
+
+
+# ---------------------------------------------------------------------------
+# Sequential (parallel_factor == 1) recursions
+# ---------------------------------------------------------------------------
+
+
+def _forward_seq(init, A, E):
+    """Scaled sequential forward. Returns (log_alpha (m,b,L,q), loglik (m,b))."""
+    m, b, L, q = E.shape
+    Et = jnp.moveaxis(E, 2, 0)  # (L, m, b, q)
+
+    def first(e0):
+        s = _clamped(e0) * _clamped(init)[:, None, :]
+        z = jnp.sum(s, axis=-1, keepdims=True)
+        return s / z, jnp.log(z[..., 0])
+
+    alpha0, ll0 = first(Et[0])
+
+    def step(carry, e_t):
+        alpha, ll = carry
+        r = jnp.einsum("mbq,mqp->mbp", alpha, A, precision=_PRECISION)
+        s = _clamped(e_t) * _clamped(r)
+        z = jnp.sum(s, axis=-1, keepdims=True)
+        alpha_new = s / z
+        ll_new = ll + jnp.log(z[..., 0])
+        out = jnp.log(alpha_new) + ll_new[..., None]
+        return (alpha_new, ll_new), out
+
+    (alpha, ll), outs = lax.scan(step, (alpha0, ll0), Et[1:])
+    log_alpha0 = jnp.log(alpha0) + ll0[..., None]
+    log_alpha = jnp.concatenate([log_alpha0[None], outs], axis=0)
+    return jnp.moveaxis(log_alpha, 0, 2), ll
+
+
+def _backward_seq(A, E):
+    """Scaled sequential backward. Returns log_beta (m, b, L, q).
+
+    beta_L = 1; beta_t(i) = sum_j A[i, j] * E_{t+1}(j) * beta_{t+1}(j).
+    """
+    m, b, L, q = E.shape
+    Et = jnp.moveaxis(E, 2, 0)  # (L, m, b, q)
+
+    beta_last = jnp.ones((m, b, q), E.dtype)
+    ll_last = jnp.zeros((m, b), E.dtype)
+
+    def step(carry, e_next):
+        beta, ll = carry  # scaled beta at t+1, log-scale
+        r = _clamped(e_next) * beta
+        s = jnp.einsum("mbq,mpq->mbp", r, A, precision=_PRECISION)  # sum_j A[p, j] r[j]
+        s = _clamped(s)
+        z = jnp.max(s, axis=-1, keepdims=True)
+        beta_new = s / z
+        ll_new = ll + jnp.log(z[..., 0])
+        out = jnp.log(beta_new) + ll_new[..., None]
+        return (beta_new, ll_new), out
+
+    # Consume emissions at positions L..2 (time-reversed), producing beta at
+    # positions L-1..1.
+    _, outs = lax.scan(step, (beta_last, ll_last), Et[1:], reverse=True)
+    log_beta_last = jnp.zeros((1, m, b, q), E.dtype)
+    log_beta = jnp.concatenate([outs, log_beta_last], axis=0)
+    return jnp.moveaxis(log_beta, 0, 2)
+
+
+def _viterbi_seq(init, A, E):
+    """Max-plus Viterbi with backtrace. Returns state paths (m, b, L) int32."""
+    log_A = jnp.log(_clamped(A))
+    log_E = jnp.log(_clamped(E))
+    log_init = jnp.log(_clamped(init))
+    Et = jnp.moveaxis(log_E, 2, 0)  # (L, m, b, q)
+
+    delta0 = log_init[:, None, :] + Et[0]  # (m, b, q)
+
+    def step(delta, e_t):
+        # scores[i, j] = delta[i] + log_A[i, j]; keep max and argmax over i.
+        best, arg = maxargmatvec(delta, log_A[:, None, :, :])
+        return best + e_t, arg
+
+    delta_final, backptrs = lax.scan(step, delta0, Et[1:])  # bp: (L-1, m, b, q)
+    last_state = jnp.argmax(delta_final, axis=-1).astype(jnp.int32)  # (m, b)
+
+    def backstep(state, bp_t):
+        prev = jnp.take_along_axis(bp_t, state[..., None], axis=-1)[..., 0]
+        return prev, prev
+
+    _, path_rev = lax.scan(backstep, last_state, backptrs, reverse=True)
+    path = jnp.concatenate([path_rev, last_state[None]], axis=0)  # (L, m, b)
+    return jnp.moveaxis(path, 0, 2)
+
+
+# ---------------------------------------------------------------------------
+# Chunked parallel recursions (parallel_factor > 1)
+# ---------------------------------------------------------------------------
+
+
+def _split_chunks(E, parallel_factor):
+    m, b, L, q = E.shape
+    if L % parallel_factor:
+        raise ValueError(
+            f"parallel_factor={parallel_factor} must divide seq_len={L}"
+        )
+    c = L // parallel_factor
+    return E.reshape(m, b * parallel_factor, c, q), c
+
+
+def _chunk_summaries(init, A, E, parallel_factor):
+    """Summary pass: per-chunk transfer operators.
+
+    Returns ``C`` of shape (P, m, b, q, q) with
+    ``C[p, ..., i, j] = log P(chunk-p emissions, right-border state j |
+    left-border state i)`` where the left border is the state at the *first*
+    position for chunk 0 (identity start) and the state at the last position
+    of the previous chunk otherwise (transition-applied start) — the same
+    conditioning scheme as ``MsaHmmCell.get_initial_state``
+    (``MsaHmmCell.py:121-142``), built here without materializing per-position
+    q² tensors.
+    """
+    m, b, L, q = E.shape
+    P = parallel_factor
+    Ec, c = _split_chunks(E, P)  # (m, bP, c, q)
+    Et = jnp.moveaxis(Ec, 2, 0)  # (c, m, bP, q)
+
+    eye = jnp.eye(q, dtype=E.dtype)
+    # First-step operator rows: identity for chunk 0, A-rows for chunks > 0.
+    is_first = (
+        jnp.arange(P) == 0
+    ).astype(E.dtype)[None, None, :, None, None]  # (1, 1, P, 1, 1)
+    R0 = is_first * eye + (1.0 - is_first) * A[:, None, None]  # (m, 1|b, P, q, q)
+    R0 = jnp.broadcast_to(R0, (m, b, P, q, q)).reshape(m, b * P, q, q)
+
+    def scale_rows(s):
+        z = jnp.sum(s, axis=-1, keepdims=True)
+        z = _clamped(z)
+        return s / z, jnp.log(z[..., 0])
+
+    M0, ll0 = scale_rows(_clamped(Et[0])[..., None, :] * _clamped(R0))
+
+    def step(carry, e_t):
+        M, ll = carry  # (m, bP, q, q) row-scaled, (m, bP, q)
+        r = jnp.einsum("mbiq,mqp->mbip", M, A, precision=_PRECISION)
+        s = _clamped(e_t)[..., None, :] * _clamped(r)
+        M_new, dll = scale_rows(s)
+        return (M_new, ll + dll), None
+
+    (M, ll), _ = lax.scan(step, (M0, ll0), Et[1:])
+    C = jnp.log(M) + ll[..., None]  # (m, bP, q, q)
+    C = C.reshape(m, b, P, q, q)
+    return jnp.moveaxis(C, 2, 0), c  # (P, m, b, q, q)
+
+
+def _boundary_values(init, C):
+    """Exact forward/backward values at chunk boundaries via associative scan.
+
+    Args:
+        init: (m, q) linear initial distribution.
+        C: (P, m, b, q, q) chunk operators from :func:`_chunk_summaries`.
+
+    Returns:
+        T: (P, m, b, q) — log forward at the *last* position of each chunk.
+        S: (P, m, b, q) — log backward at the *last* position of each chunk
+           (S[P-1] = 0).
+        loglik: (m, b).
+    """
+    P = C.shape[0]
+    log_init = jnp.log(_clamped(init))  # (m, q)
+
+    # Prefix products: Pi[p] = C_0 ∘ ... ∘ C_p  (inclusive).
+    prefix = lax.associative_scan(logmatmul, C, axis=0)
+    T = jax.nn.logsumexp(
+        log_init[None, :, None, :, None] + prefix, axis=-2
+    )  # (P, m, b, q)
+
+    # Suffix products: Sig[p] = C_p ∘ ... ∘ C_{P-1} (inclusive, reversed).
+    # Note: reverse=True applies the combine in flipped order
+    # (x[n-1] ∘ ... ∘ x[i]), so swap the operands to preserve left-to-right
+    # matrix-product order.
+    suffix = lax.associative_scan(
+        lambda a, b: logmatmul(b, a), C, axis=0, reverse=True
+    )
+    S_inner = jax.nn.logsumexp(suffix[1:], axis=-1)  # (P-1, m, b, q)
+    S = jnp.concatenate(
+        [S_inner, jnp.zeros_like(S_inner[:1])], axis=0
+    )  # (P, m, b, q)
+
+    loglik = jax.nn.logsumexp(T[-1], axis=-1)
+    return T, S, loglik
+
+
+def _forward_outputs(init, A, E, T, parallel_factor):
+    """Output pass: exact log-forward at every position from boundary values."""
+    m, b, L, q = E.shape
+    P = parallel_factor
+    Ec, c = _split_chunks(E, P)
+    Et = jnp.moveaxis(Ec, 2, 0)  # (c, m, bP, q)
+
+    # Boundary "previous alpha" per chunk: init for chunk 0 (used directly),
+    # T[p-1] propagated through A for chunks > 0.
+    T_prev = T[:-1]  # (P-1, m, b, q)
+    r_later = logmatmul(
+        T_prev[..., None, :], jnp.log(_clamped(A))[None, :, None]
+    )[..., 0, :]
+    r_first = jnp.broadcast_to(
+        jnp.log(_clamped(init))[None, :, None, :], (1, m, b, q)
+    )
+    R0_log = jnp.concatenate([r_first, r_later], axis=0)  # (P, m, b, q)
+    R0_log = jnp.moveaxis(R0_log, 0, 2).reshape(m, b * P, q)
+
+    ll0 = jax.nn.logsumexp(R0_log, axis=-1)  # (m, bP)
+    r0 = jnp.exp(R0_log - ll0[..., None])
+
+    def first(e0):
+        s = _clamped(e0) * _clamped(r0)
+        z = jnp.sum(s, axis=-1, keepdims=True)
+        return s / z, ll0 + jnp.log(z[..., 0])
+
+    alpha0, llc0 = first(Et[0])
+
+    def step(carry, e_t):
+        alpha, ll = carry
+        r = jnp.einsum("mbq,mqp->mbp", alpha, A, precision=_PRECISION)
+        s = _clamped(e_t) * _clamped(r)
+        z = jnp.sum(s, axis=-1, keepdims=True)
+        alpha_new = s / z
+        ll_new = ll + jnp.log(z[..., 0])
+        return (alpha_new, ll_new), jnp.log(alpha_new) + ll_new[..., None]
+
+    _, outs = lax.scan(step, (alpha0, llc0), Et[1:])
+    first_out = (jnp.log(alpha0) + llc0[..., None])[None]
+    log_alpha = jnp.concatenate([first_out, outs], axis=0)  # (c, m, bP, q)
+    log_alpha = jnp.moveaxis(log_alpha, 0, 2).reshape(m, b, P, c, q)
+    return log_alpha.reshape(m, b, L, q)
+
+
+def _backward_outputs(A, E, S, parallel_factor):
+    """Output pass: exact log-backward at every position from boundary values."""
+    m, b, L, q = E.shape
+    P = parallel_factor
+    Ec, c = _split_chunks(E, P)
+    Et = jnp.moveaxis(Ec, 2, 0)  # (c, m, bP, q)
+
+    # Right-boundary beta per chunk (at the chunk's last position).
+    S_flat = jnp.moveaxis(S, 0, 2).reshape(m, b * P, q)  # (m, bP, q)
+    ll0 = jnp.max(S_flat, axis=-1)
+    beta0 = jnp.exp(S_flat - ll0[..., None])
+
+    def step(carry, e_next):
+        beta, ll = carry
+        r = _clamped(e_next) * beta
+        s = jnp.einsum("mbq,mpq->mbp", r, A, precision=_PRECISION)
+        s = _clamped(s)
+        z = jnp.max(s, axis=-1, keepdims=True)
+        beta_new = s / z
+        ll_new = ll + jnp.log(z[..., 0])
+        return (beta_new, ll_new), jnp.log(beta_new) + ll_new[..., None]
+
+    # Consume within-chunk emissions at positions c-1..1 (of the chunk),
+    # producing beta at positions c-2..0.
+    _, outs = lax.scan(step, (beta0, ll0), Et[1:], reverse=True)
+    last = (jnp.log(beta0) + ll0[..., None])[None]
+    log_beta = jnp.concatenate([outs, last], axis=0)  # (c, m, bP, q)
+    log_beta = jnp.moveaxis(log_beta, 0, 2).reshape(m, b, P, c, q)
+    return log_beta.reshape(m, b, L, q)
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def forward(init, A, E, parallel_factor: int = 1) -> ForwardResult:
+    """Forward algorithm.
+
+    Mirrors ``MsaHmmLayer.forward_recursion`` (``MsaHMMLayer.py:98-114``)
+    semantics: returns per-position log-forward variables
+    ``log P(x_{1..t}, s_t)`` and per-sequence log-likelihood.
+    """
+    if parallel_factor == 1:
+        la, ll = _forward_seq(init, A, E)
+        return ForwardResult(la, ll)
+    C, _ = _chunk_summaries(init, A, E, parallel_factor)
+    T, _, ll = _boundary_values(init, C)
+    la = _forward_outputs(init, A, E, T, parallel_factor)
+    return ForwardResult(la, ll)
+
+
+def backward(init, A, E, parallel_factor: int = 1) -> jax.Array:
+    """Backward algorithm: ``log_beta[t, i] = log P(x_{t+1..L} | s_t = i)``.
+
+    Mirrors ``MsaHmmLayer.backward_recursion`` (``MsaHMMLayer.py:116-132``).
+    """
+    if parallel_factor == 1:
+        return _backward_seq(A, E)
+    C, _ = _chunk_summaries(init, A, E, parallel_factor)
+    _, S, _ = _boundary_values(init, C)
+    return _backward_outputs(A, E, S, parallel_factor)
+
+
+def log_likelihood(init, A, E, parallel_factor: int = 1) -> jax.Array:
+    """Per-sequence log-likelihood ``log P(x_{1..L})``, shape (m, b).
+
+    The training-loss path (``MsaHmmLayer.forward`` → loglik,
+    ``MsaHMMLayer.py:180-208``). With ``parallel_factor > 1`` only the
+    summary pass and boundary combine run — no per-position outputs are
+    materialized.
+    """
+    if parallel_factor == 1:
+        m, b, L, q = E.shape
+        Et = jnp.moveaxis(E, 2, 0)
+        s0 = _clamped(Et[0]) * _clamped(init)[:, None, :]
+        z0 = jnp.sum(s0, axis=-1, keepdims=True)
+        carry0 = (s0 / z0, jnp.log(z0[..., 0]))
+
+        def step(carry, e_t):
+            alpha, ll = carry
+            r = jnp.einsum("mbq,mqp->mbp", alpha, A, precision=_PRECISION)
+            s = _clamped(e_t) * _clamped(r)
+            z = jnp.sum(s, axis=-1, keepdims=True)
+            return (s / z, ll + jnp.log(z[..., 0])), None
+
+        (alpha, ll), _ = lax.scan(step, carry0, Et[1:])
+        return ll
+    C, _ = _chunk_summaries(init, A, E, parallel_factor)
+    _, _, ll = _boundary_values(init, C)
+    return ll
+
+
+def posterior(
+    init,
+    A,
+    E,
+    parallel_factor: int = 1,
+    no_loglik: bool = False,
+):
+    """State posterior log-probabilities ``log P(s_t = j | x)``.
+
+    Mirrors ``MsaHmmLayer.state_posterior_log_probs``
+    (``MsaHMMLayer.py:134-153``), including the ``no_loglik`` flag used for
+    end-to-end softmax training (``MsaHMMLayer.py:142-143,513-514``).
+
+    Returns (log_gamma (m, b, L, q), loglik (m, b)).
+    """
+    if parallel_factor == 1:
+        la, ll = _forward_seq(init, A, E)
+        lb = _backward_seq(A, E)
+    else:
+        C, _ = _chunk_summaries(init, A, E, parallel_factor)
+        T, S, ll = _boundary_values(init, C)
+        la = _forward_outputs(init, A, E, T, parallel_factor)
+        lb = _backward_outputs(A, E, S, parallel_factor)
+    log_gamma = la + lb
+    if not no_loglik:
+        log_gamma = log_gamma - ll[..., None, None]
+    return log_gamma, ll
+
+
+def viterbi(init, A, E) -> jax.Array:
+    """Most likely state path, shape (m, b, L) int32.
+
+    A capability the reference only names (``MsaHmmCell.py:13``); required by
+    BASELINE.json. Sequential max-plus scan with backpointer trace.
+    """
+    return _viterbi_seq(init, A, E)

@@ -1,0 +1,197 @@
+"""Engine correctness: forward/backward/posterior/viterbi vs NumPy oracle,
+sequential vs chunked parity, gradients, multi-model padding."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hmm_layer_tpu.ops import recursion
+from oracle import (
+    backward_np,
+    brute_force_loglik,
+    brute_force_viterbi,
+    forward_np,
+    posterior_np,
+    random_hmm,
+    viterbi_np,
+)
+
+RNG = np.random.default_rng(0)
+
+
+def _stack(init, A, E):
+    """Lift single-model numpy HMM to engine shapes (m=1)."""
+    return init[None], A[None], E[None]
+
+
+class TestForwardSequential:
+    def test_matches_oracle(self):
+        init, A, E = random_hmm(RNG, q=5, L=40, b=3)
+        la, ll = recursion.forward(*_stack(init, A, E))
+        for i in range(3):
+            la_np, ll_np = forward_np(init, A, E[i])
+            np.testing.assert_allclose(la[0, i], la_np, rtol=2e-3, atol=2e-3)
+            np.testing.assert_allclose(ll[0, i], ll_np, rtol=1e-4)
+
+    def test_matches_brute_force(self):
+        init, A, E = random_hmm(RNG, q=3, L=6, b=1)
+        _, ll = recursion.forward(*_stack(init, A, E))
+        ll_bf = brute_force_loglik(init.astype(np.float64), A.astype(np.float64), E[0].astype(np.float64))
+        np.testing.assert_allclose(ll[0, 0], ll_bf, rtol=1e-4)
+
+    def test_long_sequence_stable(self):
+        init, A, E = random_hmm(RNG, q=8, L=5000, b=2)
+        la, ll = recursion.forward(*_stack(init, A, E))
+        assert np.all(np.isfinite(ll))
+        assert np.all(np.isfinite(la))
+
+
+class TestBackward:
+    def test_matches_oracle(self):
+        init, A, E = random_hmm(RNG, q=5, L=30, b=2)
+        lb = recursion.backward(*_stack(init, A, E))
+        for i in range(2):
+            lb_np = backward_np(A, E[i])
+            np.testing.assert_allclose(lb[0, i], lb_np, rtol=2e-3, atol=2e-3)
+
+    def test_forward_backward_identity(self):
+        """logsumexp(alpha_t + beta_t) == loglik at every t."""
+        init, A, E = random_hmm(RNG, q=6, L=25, b=2)
+        la, ll = recursion.forward(*_stack(init, A, E))
+        lb = recursion.backward(*_stack(init, A, E))
+        check = jax.nn.logsumexp(la + lb, axis=-1)  # (1, b, L)
+        np.testing.assert_allclose(
+            check, np.broadcast_to(np.asarray(ll)[..., None], check.shape), rtol=1e-4
+        )
+
+
+class TestPosterior:
+    def test_matches_oracle(self):
+        init, A, E = random_hmm(RNG, q=5, L=30, b=2)
+        lg, ll = recursion.posterior(*_stack(init, A, E))
+        for i in range(2):
+            lg_np, ll_np = posterior_np(init, A, E[i])
+            np.testing.assert_allclose(lg[0, i], lg_np, rtol=2e-3, atol=2e-3)
+
+    def test_normalized(self):
+        init, A, E = random_hmm(RNG, q=7, L=50, b=3)
+        lg, _ = recursion.posterior(*_stack(init, A, E))
+        sums = jax.nn.logsumexp(lg, axis=-1)
+        np.testing.assert_allclose(sums, np.zeros_like(sums), atol=1e-4)
+
+    def test_no_loglik(self):
+        init, A, E = random_hmm(RNG, q=4, L=10, b=1)
+        lg, ll = recursion.posterior(*_stack(init, A, E), no_loglik=True)
+        lg2, _ = recursion.posterior(*_stack(init, A, E))
+        np.testing.assert_allclose(lg - ll[..., None, None], lg2, rtol=1e-4, atol=1e-5)
+
+
+class TestChunkedParity:
+    @pytest.mark.parametrize("P", [2, 4, 8])
+    def test_forward_parity(self, P):
+        init, A, E = random_hmm(RNG, q=5, L=64, b=2)
+        la1, ll1 = recursion.forward(*_stack(init, A, E), parallel_factor=1)
+        laP, llP = recursion.forward(*_stack(init, A, E), parallel_factor=P)
+        np.testing.assert_allclose(ll1, llP, rtol=1e-4)
+        np.testing.assert_allclose(la1, laP, rtol=1e-3, atol=1e-3)
+
+    @pytest.mark.parametrize("P", [2, 4, 8])
+    def test_backward_parity(self, P):
+        init, A, E = random_hmm(RNG, q=5, L=64, b=2)
+        lb1 = recursion.backward(*_stack(init, A, E), parallel_factor=1)
+        lbP = recursion.backward(*_stack(init, A, E), parallel_factor=P)
+        np.testing.assert_allclose(lb1, lbP, rtol=1e-3, atol=1e-3)
+
+    @pytest.mark.parametrize("P", [3, 11])
+    def test_posterior_parity_uneven_q(self, P):
+        # 99 = 3 * 33 = 11 * 9; chunk sizes not powers of two.
+        init, A, E = random_hmm(RNG, q=9, L=99, b=2)
+        lg1, ll1 = recursion.posterior(*_stack(init, A, E), parallel_factor=1)
+        lgP, llP = recursion.posterior(*_stack(init, A, E), parallel_factor=P)
+        np.testing.assert_allclose(ll1, llP, rtol=1e-4)
+        np.testing.assert_allclose(lg1, lgP, rtol=1e-3, atol=1e-3)
+
+    def test_loglik_only_path(self):
+        init, A, E = random_hmm(RNG, q=5, L=60, b=2)
+        ll1 = recursion.log_likelihood(*_stack(init, A, E), parallel_factor=1)
+        llP = recursion.log_likelihood(*_stack(init, A, E), parallel_factor=6)
+        np.testing.assert_allclose(ll1, llP, rtol=1e-4)
+
+    def test_indivisible_factor_raises(self):
+        init, A, E = random_hmm(RNG, q=4, L=10, b=1)
+        with pytest.raises(ValueError):
+            recursion.forward(*_stack(init, A, E), parallel_factor=3)
+
+
+class TestViterbi:
+    def test_matches_np_viterbi(self):
+        init, A, E = random_hmm(RNG, q=5, L=40, b=3, peaked=True)
+        paths = recursion.viterbi(*_stack(init, A, E))
+        for i in range(3):
+            np.testing.assert_array_equal(paths[0, i], viterbi_np(init, A, E[i]))
+
+    def test_matches_brute_force(self):
+        init, A, E = random_hmm(RNG, q=3, L=5, b=1, peaked=True)
+        paths = recursion.viterbi(*_stack(init, A, E))
+        bf_path, _ = brute_force_viterbi(
+            init.astype(np.float64), A.astype(np.float64), E[0].astype(np.float64)
+        )
+        np.testing.assert_array_equal(paths[0, 0], bf_path)
+
+
+class TestGradients:
+    def test_loglik_grad_matches_fd(self):
+        init, A, E = random_hmm(RNG, q=3, L=8, b=1)
+
+        def loss(logits_A):
+            A_ = jax.nn.softmax(logits_A, axis=-1)
+            return recursion.log_likelihood(init[None], A_[None], E[None]).sum()
+
+        logits = jnp.log(jnp.asarray(A))
+        g = jax.grad(loss)(logits)
+        eps = 1e-3
+        for idx in [(0, 1), (2, 2)]:
+            lp = loss(logits.at[idx].add(eps))
+            lm = loss(logits.at[idx].add(-eps))
+            fd = (lp - lm) / (2 * eps)
+            np.testing.assert_allclose(g[idx], fd, rtol=2e-2, atol=1e-4)
+
+    def test_chunked_grad_matches_sequential_grad(self):
+        init, A, E = random_hmm(RNG, q=4, L=24, b=2)
+
+        def loss(E_, pf):
+            return recursion.log_likelihood(init[None], A[None], E_[None], parallel_factor=pf).sum()
+
+        g1 = jax.grad(loss)(jnp.asarray(E), 1)
+        gP = jax.grad(loss)(jnp.asarray(E), 4)
+        np.testing.assert_allclose(g1, gP, rtol=1e-3, atol=1e-4)
+
+
+class TestMultiModelPadding:
+    def test_padded_states_ignored(self):
+        """A 3-state model padded to q=5 must give the same loglik."""
+        init, A, E = random_hmm(RNG, q=3, L=12, b=2)
+        q_pad = 5
+        init_p = np.zeros(q_pad, np.float32)
+        init_p[:3] = init
+        A_p = np.zeros((q_pad, q_pad), np.float32)
+        A_p[:3, :3] = A
+        E_p = np.zeros((2, 12, q_pad), np.float32)
+        E_p[..., :3] = E
+        _, ll = recursion.forward(*_stack(init, A, E))
+        _, ll_p = recursion.forward(*_stack(init_p, A_p, E_p))
+        np.testing.assert_allclose(ll, ll_p, rtol=1e-4)
+
+    def test_padded_chunked(self):
+        init, A, E = random_hmm(RNG, q=3, L=16, b=2)
+        q_pad = 6
+        init_p = np.zeros(q_pad, np.float32)
+        init_p[:3] = init
+        A_p = np.zeros((q_pad, q_pad), np.float32)
+        A_p[:3, :3] = A
+        E_p = np.zeros((2, 16, q_pad), np.float32)
+        E_p[..., :3] = E
+        ll = recursion.log_likelihood(*_stack(init, A, E))
+        ll_p = recursion.log_likelihood(*_stack(init_p, A_p, E_p), parallel_factor=4)
+        np.testing.assert_allclose(ll, ll_p, rtol=1e-4)
