@@ -1,0 +1,195 @@
+"""Top-level HMM layer: batch-level likelihood / posterior orchestration.
+
+Functional JAX equivalent of ``MsaHmmLayer``
+(``/root/reference/hmm_layer/MsaHMMLayer.py:8-224``) — the same API surface
+(forward/backward recursions, posterior state probs with ``no_loglik``,
+sequence weights, prior scaling by ``num_seqs`` or weight sum, aux losses,
+``parallel_factor``), but as a thin stateless orchestrator over the scan
+engine in :mod:`hmm_layer_tpu.ops.recursion`; there is no RNN-cell /
+Bidirectional / TotalProbabilityCell object graph to mirror because the
+engine subsumes them.
+
+Trainable state lives in a params pytree::
+
+    params = {"transitions": ..., "emissions": [...]}
+
+created by :meth:`HMMLayer.init_params` and consumed by pure, jittable
+methods.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .ops import recursion
+
+__all__ = ["HMMLayer"]
+
+
+class HMMLayer:
+    """Computes log-likelihoods and posterior state probabilities for batches
+    of observations under one or more HMMs.
+
+    Args:
+        transitions: transition model (``matrices(params) -> (init, A)``,
+            ``init_params``, ``prior_log_density``).
+        emissions: emission model or list of models; multiple emitters are
+            multiplied (``MsaHmmCell.emission_probs``, ``MsaHmmCell.py:61-71``).
+        num_seqs: dataset size used to scale the prior.
+        use_prior: add the prior to the training objective.
+        sequence_weights: optional per-sequence weights (indexed via the
+            ``indices`` argument of :meth:`loss`).
+        parallel_factor: chunked-parallel factor along the sequence axis
+            (must divide the sequence length).
+    """
+
+    def __init__(
+        self,
+        transitions,
+        emissions,
+        num_seqs: int | None = None,
+        use_prior: bool = True,
+        sequence_weights=None,
+        parallel_factor: int = 1,
+    ):
+        self.transitions = transitions
+        self.emissions = emissions if isinstance(emissions, list) else [emissions]
+        self.num_seqs = num_seqs
+        self.use_prior = use_prior
+        self.sequence_weights = (
+            None if sequence_weights is None else jnp.asarray(sequence_weights)
+        )
+        self.parallel_factor = parallel_factor
+
+    # -- params ---------------------------------------------------------------
+
+    def init_params(self, key, input_dim: int) -> dict:
+        keys = jax.random.split(key, 1 + len(self.emissions))
+        return {
+            "transitions": self.transitions.init_params(keys[0]),
+            "emissions": [
+                em.init_params(k, input_dim)
+                for em, k in zip(self.emissions, keys[1:])
+            ],
+        }
+
+    # -- building blocks -------------------------------------------------------
+
+    def emission_probs(self, params, inputs, end_hints=None, training=False):
+        """Product of all emitters' per-state probabilities; (m, b, L, q)."""
+        probs = self.emissions[0].emissions(
+            params["emissions"][0], inputs, end_hints=end_hints, training=training
+        )
+        for em, p in zip(self.emissions[1:], params["emissions"][1:]):
+            probs = probs * em.emissions(
+                p, inputs, end_hints=end_hints, training=training
+            )
+        return probs
+
+    def _ingredients(self, params, inputs, end_hints, training):
+        init, A = self.transitions.matrices(params["transitions"])
+        E = self.emission_probs(params, inputs, end_hints, training)
+        return init, A, E
+
+    # -- inference -------------------------------------------------------------
+
+    def forward_recursion(
+        self, params, inputs, end_hints=None, return_prior=False, training=False
+    ):
+        """(log_forward (m,b,L,q), loglik (m,b)[, prior, aux_loss])."""
+        init, A, E = self._ingredients(params, inputs, end_hints, training)
+        la, ll = recursion.forward(init, A, E, self.parallel_factor)
+        if return_prior:
+            return la, ll, self.compute_prior(params, scaled=False), self.aux_loss(params)
+        return la, ll
+
+    def backward_recursion(
+        self, params, inputs, end_hints=None, return_prior=False, training=False
+    ):
+        init, A, E = self._ingredients(params, inputs, end_hints, training)
+        lb = recursion.backward(init, A, E, self.parallel_factor)
+        if return_prior:
+            return lb, self.compute_prior(params, scaled=False), self.aux_loss(params)
+        return lb
+
+    def state_posterior_log_probs(
+        self,
+        params,
+        inputs,
+        end_hints=None,
+        return_prior=False,
+        training=False,
+        no_loglik=False,
+    ):
+        """log P(s_t = q | x); (m, b, L, q)."""
+        init, A, E = self._ingredients(params, inputs, end_hints, training)
+        lg, _ = recursion.posterior(
+            init, A, E, self.parallel_factor, no_loglik=no_loglik
+        )
+        if return_prior:
+            return lg, self.compute_prior(params, scaled=False), self.aux_loss(params)
+        return lg
+
+    def log_likelihood(self, params, inputs, end_hints=None, training=False):
+        """Per-model per-sequence loglik; (m, b)."""
+        init, A, E = self._ingredients(params, inputs, end_hints, training)
+        return recursion.log_likelihood(init, A, E, self.parallel_factor)
+
+    def viterbi(self, params, inputs):
+        """Most likely state paths; (m, b, L) int32."""
+        init, A, E = self._ingredients(params, inputs, None, False)
+        return recursion.viterbi(init, A, E)
+
+    # -- priors / weights / losses ----------------------------------------------
+
+    def compute_prior(self, params, scaled: bool = True):
+        """Summed parameter prior per model; (m,)."""
+        prior = self.transitions.prior_log_density(params["transitions"])
+        for em, p in zip(self.emissions, params["emissions"]):
+            prior = prior + em.prior_log_density(p)
+        return self._scale_prior(prior) if scaled else prior
+
+    def _scale_prior(self, prior):
+        if self.sequence_weights is not None:
+            return prior / jnp.sum(self.sequence_weights)
+        if self.num_seqs is not None:
+            return prior / self.num_seqs
+        return prior
+
+    def aux_loss(self, params):
+        return sum(
+            em.aux_loss(p) for em, p in zip(self.emissions, params["emissions"])
+        )
+
+    def apply_sequence_weights(self, loglik, indices, aggregate: bool = False):
+        if self.sequence_weights is not None:
+            weights = self.sequence_weights[indices]
+            loglik = loglik * weights
+            if aggregate:
+                loglik = jnp.sum(loglik, axis=1) / jnp.sum(weights, axis=1)
+                loglik = jnp.mean(loglik)
+        elif aggregate:
+            loglik = jnp.mean(loglik)
+        return loglik
+
+    def loss(self, params, inputs, indices=None, training=True):
+        """Negative (MAP) training objective, scalar.
+
+        Mirrors ``MsaHmmLayer.forward`` (``MsaHMMLayer.py:180-208``):
+        mean weighted loglik + scaled prior − aux losses, negated.
+        """
+        ll = self.log_likelihood(params, inputs, training=training)
+        ll_mean = self.apply_sequence_weights(ll, indices, aggregate=True)
+        objective = ll_mean
+        if self.use_prior:
+            objective = objective + jnp.mean(self.compute_prior(params))
+        return -(objective) + self.aux_loss(params)
+
+    def __call__(self, params, inputs, indices=None, training=False):
+        """(loglik (m, b), aggregated loglik[, prior (m,), aux_loss])."""
+        ll = self.log_likelihood(params, inputs, training=training)
+        ll_mean = self.apply_sequence_weights(ll, indices, aggregate=True)
+        if self.use_prior:
+            return ll, ll_mean, self.compute_prior(params), self.aux_loss(params)
+        return ll, ll_mean

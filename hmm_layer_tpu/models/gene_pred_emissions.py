@@ -1,0 +1,344 @@
+"""Gene-prediction HMM emission models.
+
+Functional JAX re-design of
+``/root/reference/hmm_layer/gene_pred_hmm_emitter.py``:
+
+* :class:`SimpleGenePredEmissions` — ``1 + 6·num_copies`` states scored from
+  class predictions, optional MVN embedding emissions with temperature,
+  optional shared intron parameters, ``end_hints`` border masking
+  (``gene_pred_hmm_emitter.py:8-146``).
+* :class:`GenePredEmissions` — ``1 + 14·num_copies`` states with biological
+  codon-pattern enforcement: START/STOP/donor/acceptor states multiply their
+  class emissions by fixed codon-probability tables contracted against
+  runtime 3-mer encodings of the nucleotide track
+  (``gene_pred_hmm_emitter.py:161-277``), plus optional trainable exon
+  nucleotide distributions and the MVN L2 auxiliary loss.
+
+The codon factor is computed as two ``(64 -> constrained-states)`` matmuls
+(one per pivot side) instead of the reference's einsum + product — same
+math, MXU-shaped.
+
+Note: the reference reads the nucleotide track for the trainable-exon path
+from the already-stripped class inputs (``gene_pred_hmm_emitter.py:266``, a
+transcription bug); here the real nucleotide channels are used.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.kmer import encode_kmer_string, make_k_mers
+from ..utils.bijectors import DefaultDiagBijector
+from .mvn import MvnMixture
+
+__all__ = [
+    "SimpleGenePredEmissions",
+    "GenePredEmissions",
+    "make_codon_probs",
+    "assert_codons",
+]
+
+
+def assert_codons(codons):
+    total = sum(p for _, p in codons)
+    assert abs(total - 1.0) < 1e-6, f"codon probabilities must sum to 1: {codons}"
+    for triplet, prob in codons:
+        assert len(triplet) == 3, f"triplets must have length 3: {codons}"
+        assert 0.0 <= prob <= 1.0, f"probabilities must be in [0, 1]: {codons}"
+
+
+def make_codon_probs(codons, pivot_left: bool) -> np.ndarray:
+    """Weighted sum of encoded 3-mers, flattened to (1, 64)."""
+    assert_codons(codons)
+    table = sum(
+        prob * np.asarray(encode_kmer_string(triplet, pivot_left))
+        for triplet, prob in codons
+    )
+    return table.reshape(1, 64)
+
+
+class SimpleGenePredEmissions:
+    """Emissions for the 7-state (per copy) gene grammar.
+
+    State order: ``Ir, I0*c, I1*c, I2*c, E0*c, E1*c, E2*c``.
+    """
+
+    def __init__(
+        self,
+        num_models: int = 1,
+        num_copies: int = 1,
+        init: float | np.ndarray = 0.0,
+        trainable_emissions: bool = True,
+        emit_embeddings: bool = False,
+        embedding_dim: int | None = None,
+        full_covariance: bool = False,
+        initial_variance: float = 1.0,
+        temperature: float = 1.0,
+        share_intron_parameters: bool = True,
+    ):
+        self.num_models = num_models
+        self.num_copies = num_copies
+        if not hasattr(self, "num_states"):
+            self.num_states = 1 + 6 * num_copies
+        self.init = init
+        self.trainable_emissions = trainable_emissions
+        self.emit_embeddings = emit_embeddings
+        self.embedding_dim = embedding_dim
+        self.full_covariance = full_covariance
+        self.initial_variance = initial_variance
+        self.temperature = temperature
+        self.share_intron_parameters = share_intron_parameters
+        if emit_embeddings:
+            assert embedding_dim is not None, (
+                "embedding_dim is required when emit_embeddings=True"
+            )
+            assert num_models == 1, (
+                "embedding emissions currently support a single model"
+            )
+            self.mvn = MvnMixture(
+                embedding_dim,
+                diag_only=not full_covariance,
+                diag_bijector=DefaultDiagBijector(initial_variance),
+            )
+        else:
+            assert embedding_dim is None, (
+                "embedding_dim must be None when emit_embeddings=False"
+            )
+            self.mvn = None
+
+    @property
+    def num_param_states(self) -> int:
+        """States carrying their own emission parameters (introns may share)."""
+        shared = 2 * self.num_copies if self.share_intron_parameters else 0
+        return self.num_states - shared
+
+    def init_params(self, key, input_dim: int) -> dict:
+        k1, k2 = jax.random.split(key)
+        if np.isscalar(self.init):
+            kernel = jnp.full(
+                (self.num_models, self.num_param_states, input_dim),
+                float(self.init),
+            )
+        else:
+            kernel = jnp.asarray(self.init, jnp.float32)
+        params = {"emission_kernel": kernel}
+        if self.emit_embeddings:
+            params["embedding_emission_kernel"] = 0.02 * jax.random.normal(
+                k2, (1, self.num_param_states, 1, self.mvn.num_params())
+            )
+        return params
+
+    def make_B(self, params):
+        return jax.nn.softmax(params["emission_kernel"], axis=-1)
+
+    def _expand_shared_introns(self, emit):
+        if not self.share_intron_parameters:
+            return emit
+        c = self.num_copies
+        i0 = emit[..., 1 : 1 + c]
+        return jnp.concatenate(
+            [emit[..., : 1 + c], i0, i0, emit[..., 1 + c :]], axis=-1
+        )
+
+    def _apply_end_hints(self, emit, end_hints):
+        if end_hints is None:
+            return emit
+        left = end_hints[..., :1, :] * emit[..., :1, :]
+        right = end_hints[..., 1:, :] * emit[..., -1:, :]
+        return jnp.concatenate([left, emit[..., 1:-1, :], right], axis=-2)
+
+    def emissions(self, params, inputs, end_hints=None, training: bool = False):
+        """Per-state emission probabilities.
+
+        Args:
+            inputs: (m, b, L, s) class predictions, plus ``embedding_dim``
+                trailing channels when ``emit_embeddings``.
+            end_hints: optional (m, b, 2, num_states) border-state masks.
+        Returns:
+            (m, b, L, num_states) linear-space probabilities.
+        """
+        B = self.make_B(params)
+        if self.emit_embeddings:
+            class_inputs = inputs[..., : -self.embedding_dim]
+            embedding_inputs = inputs[..., -self.embedding_dim :]
+            emit = jnp.einsum("mbls,mqs->mblq", class_inputs, B)
+            flat = embedding_inputs.reshape(1, -1, self.embedding_dim)
+            log_pdf = self.mvn.log_pdf(params["embedding_emission_kernel"], flat)
+            log_pdf = log_pdf.reshape(emit.shape)
+            embedding_emit = jnp.exp(log_pdf / self.temperature)
+            if training:
+                emit = emit + 1e-10
+                embedding_emit = embedding_emit + 1e-10
+            emit = emit * embedding_emit
+        else:
+            emit = jnp.einsum("mbls,mqs->mblq", inputs, B)
+        emit = self._expand_shared_introns(emit)
+        return self._apply_end_hints(emit, end_hints)
+
+    def prior_log_density(self, params):
+        return jnp.zeros((self.num_models,), jnp.float32)
+
+    def aux_loss(self, params):
+        return jnp.zeros((), jnp.float32)
+
+    def duplicate(self, params, share_kernels: bool = False):
+        """Return a copy of this emitter config plus (shared or copied)
+        params — the model-surgery hook (``gene_pred_hmm_emitter.py:279-311``)."""
+        copy = type(self).from_config(self.get_config())
+        new_params = params if share_kernels else jax.tree.map(jnp.copy, params)
+        return copy, new_params
+
+    def get_config(self) -> dict:
+        return {
+            "num_models": self.num_models,
+            "num_copies": self.num_copies,
+            "init": self.init if np.isscalar(self.init) else np.asarray(self.init),
+            "trainable_emissions": self.trainable_emissions,
+            "emit_embeddings": self.emit_embeddings,
+            "embedding_dim": self.embedding_dim,
+            "full_covariance": self.full_covariance,
+            "initial_variance": self.initial_variance,
+            "temperature": self.temperature,
+            "share_intron_parameters": self.share_intron_parameters,
+        }
+
+    @classmethod
+    def from_config(cls, config):
+        return cls(**config)
+
+
+class GenePredEmissions(SimpleGenePredEmissions):
+    """15-state (per copy) emissions with codon-pattern constraints.
+
+    State order: ``Ir, I0-2*c, E0-2*c, START*c, EI0-2*c, IE0-2*c, STOP*c``.
+    Inputs carry 5 trailing one-hot ACGTN channels.
+    """
+
+    def __init__(
+        self,
+        start_codons,
+        stop_codons,
+        intron_begin_pattern,
+        intron_end_pattern,
+        l2_lambda: float = 0.01,
+        trainable_nucleotides_at_exons: bool = False,
+        **kwargs,
+    ):
+        self.num_states = 1 + 14 * kwargs.get("num_copies", 1)
+        super().__init__(**kwargs)
+        self.start_codons = start_codons
+        self.stop_codons = stop_codons
+        self.intron_begin_pattern = intron_begin_pattern
+        self.intron_end_pattern = intron_end_pattern
+        self.l2_lambda = l2_lambda
+        self.trainable_nucleotides_at_exons = trainable_nucleotides_at_exons
+
+        start = make_codon_probs(start_codons, pivot_left=True)
+        stop = make_codon_probs(stop_codons, pivot_left=False)
+        intron_begin = make_codon_probs(intron_begin_pattern, pivot_left=True)
+        intron_end = make_codon_probs(intron_end_pattern, pivot_left=False)
+        any_codon = make_codon_probs([("NNN", 1.0)], pivot_left=False)
+        not_stop = any_codon * (stop == 0)
+        not_stop = not_stop / not_stop.sum()
+        # Constrained states (the first 1 + 5c states — Ir, introns, E0, E1 —
+        # are unconstrained): E2, START, EI0-2, IE0-2, STOP.
+        left = np.concatenate(
+            [any_codon, start] + [intron_begin] * 3 + [any_codon] * 4, axis=0
+        )
+        right = np.concatenate(
+            [not_stop, any_codon, any_codon, not_stop, any_codon]
+            + [intron_end] * 3
+            + [stop],
+            axis=0,
+        )
+        # (2, 9, 64): pivot side x constrained states x 3-mer classes.
+        self.codon_probs = np.stack([left, right], axis=0).astype(np.float32)
+
+    def init_params(self, key, input_dim: int) -> dict:
+        params = super().init_params(key, input_dim)
+        if self.trainable_nucleotides_at_exons:
+            assert self.num_models == 1, (
+                "trainable nucleotide emissions support a single model"
+            )
+            params["nuc_emission_kernel"] = jnp.zeros(
+                (self.num_models, 3 * self.num_copies, 4)
+            )
+        return params
+
+    def emissions(self, params, inputs, end_hints=None, training: bool = False):
+        """Inputs: (m, b, L, s + 5); trailing 5 channels are one-hot ACGTN."""
+        nucleotides = inputs[..., -5:]
+        class_inputs = inputs[..., :-5]
+        emit = super().emissions(
+            params, class_inputs, end_hints=end_hints, training=training
+        )
+
+        m, b, L = nucleotides.shape[:3]
+        nuc_flat = nucleotides.reshape(m * b, L, 5)
+        left_3mers = make_k_mers(nuc_flat, k=3, pivot_left=True).reshape(m, b, L, 64)
+        right_3mers = make_k_mers(nuc_flat, k=3, pivot_left=False).reshape(
+            m, b, L, 64
+        )
+        # Two (64 -> 9) contractions, then the per-state product of both sides.
+        left_factor = jnp.einsum(
+            "mbls,qs->mblq", left_3mers, jnp.asarray(self.codon_probs[0])
+        )
+        right_factor = jnp.einsum(
+            "mbls,qs->mblq", right_3mers, jnp.asarray(self.codon_probs[1])
+        )
+        codon_factor = left_factor * right_factor  # (m, b, L, 9)
+
+        if self.num_copies > 1:
+            codon_factor = jnp.repeat(codon_factor, self.num_copies, axis=-1)
+        unconstrained = jnp.full(
+            codon_factor.shape[:-1] + (1 + 5 * self.num_copies,),
+            1.0 / 4096.0,
+            codon_factor.dtype,
+        )
+        codon_factor = jnp.concatenate([unconstrained, codon_factor], axis=-1)
+        if training:
+            codon_factor = codon_factor + 1e-7
+
+        full_emission = emit * codon_factor
+
+        if self.trainable_nucleotides_at_exons:
+            nuc_no_n = nucleotides[..., :4] + nucleotides[..., 4:] / 4.0
+            nuc_probs = jax.nn.softmax(params["nuc_emission_kernel"], axis=-1)
+            exon_factor = jnp.einsum("mbls,mqs->mblq", nuc_no_n, nuc_probs)
+            c = self.num_copies
+            pre = jnp.full(
+                full_emission.shape[:-1] + (1 + 3 * c,), 0.25, full_emission.dtype
+            )
+            post = jnp.full(
+                full_emission.shape[:-1]
+                + (self.num_states - (1 + 6 * c),),
+                0.25,
+                full_emission.dtype,
+            )
+            full_emission = full_emission * jnp.concatenate(
+                [pre, exon_factor, post], axis=-1
+            )
+        return full_emission
+
+    def aux_loss(self, params):
+        if self.emit_embeddings:
+            return self.l2_lambda * self.mvn.regularization_l2_loss(
+                params["embedding_emission_kernel"]
+            )
+        return jnp.zeros((), jnp.float32)
+
+    def get_config(self) -> dict:
+        config = super().get_config()
+        config.update(
+            {
+                "start_codons": self.start_codons,
+                "stop_codons": self.stop_codons,
+                "intron_begin_pattern": self.intron_begin_pattern,
+                "intron_end_pattern": self.intron_end_pattern,
+                "l2_lambda": self.l2_lambda,
+                "trainable_nucleotides_at_exons": self.trainable_nucleotides_at_exons,
+            }
+        )
+        return config
