@@ -14,14 +14,18 @@ from .ops.recursion import (
     posterior,
     viterbi,
 )
+from .layer import HMMLayer
+from . import models
 
 __version__ = "0.1.0"
 
 __all__ = [
     "ForwardResult",
+    "HMMLayer",
     "backward",
     "forward",
     "log_likelihood",
+    "models",
     "posterior",
     "viterbi",
     "__version__",

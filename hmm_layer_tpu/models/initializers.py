@@ -97,7 +97,7 @@ def match_transition_init(val, i, scale=0.1):
     def init(key, shape, dtype=jnp.float32):
         z = scale * jax.random.normal(key, (shape[0], 1), dtype)
         val_z = jnp.asarray(val)[None, :] + z
-        p_exit_desired = 0.5 / (shape[0] - 1)
+        p_exit_desired = 0.5 / max(shape[0] - 1, 1)
         prob = jax.nn.softmax(val_z, axis=-1) * (1.0 - p_exit_desired)
         return jnp.log(prob[:, i])
 

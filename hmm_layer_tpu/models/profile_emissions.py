@@ -1,0 +1,173 @@
+"""Profile-HMM emission model (match multinomials over amino acids).
+
+Functional JAX re-design of ``ProfileHMMEmitter``
+(``/root/reference/hmm_layer/Emitter.py:7-230``):
+
+* per-model match kernel ``(L, s)`` plus one insertion kernel ``(s,)``
+  (frozen by default, ``Emitter.py:70-72``);
+* emission matrix rows ordered ``[insert(left flank), match x L,
+  insert x (L-1), unannotated, right flank, terminal one-hot]``
+  with a zero column appended for the terminal symbol
+  (``Emitter.py:97-117``), padded and stacked across models;
+* scoring = input distribution · Bᵀ (``Emitter.py:139-157``);
+* Dirichlet amino-acid prior (the reference's default
+  ``priors.AminoAcidPrior`` does not exist in its own ``Priors.py`` — a
+  known defect; restored here from :mod:`hmm_layer_tpu.models.priors`);
+* ``duplicate`` model surgery with optional kernel sharing
+  (``Emitter.py:171-197``).
+
+Note: the reference computes the padded state count as ``len(lengths) + 2``
+(``Emitter.py:124``, a transcription bug); the correct count ``2L + 3`` is
+used here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .priors import AminoAcidPrior
+from .profile_transitions import get_num_states
+
+__all__ = ["ProfileEmissions"]
+
+
+class ProfileEmissions:
+    """Multinomial amino-acid emissions for one or more profile HMMs.
+
+    Args:
+        lengths: model length or list of lengths.
+        emission_init: initializer (or list, one per model) for the match
+            kernels, ``f(key, (L, s))``.
+        insertion_init: initializer (or list) for the insertion kernel,
+            ``f(key, (s,))``.
+        prior: emission prior; defaults to :class:`AminoAcidPrior`.
+        frozen_insertions: exclude insertion kernels from training.
+        alphabet_size: ``s`` (without the terminal symbol); learnMSA uses 25
+            input channels = 24 alphabet + terminal, hence the default 23
+            when ``input_dim`` is 24.
+    """
+
+    def __init__(
+        self,
+        lengths,
+        emission_init=None,
+        insertion_init=None,
+        prior=None,
+        frozen_insertions: bool = True,
+    ):
+        self.lengths = [lengths] if np.isscalar(lengths) else list(lengths)
+        self.num_models = len(self.lengths)
+        self.num_states = get_num_states(self.lengths)
+        self.max_num_states = max(self.num_states)
+        self.emission_init = (
+            emission_init
+            if isinstance(emission_init, list)
+            else [emission_init] * self.num_models
+        )
+        self.insertion_init = (
+            insertion_init
+            if isinstance(insertion_init, list)
+            else [insertion_init] * self.num_models
+        )
+        self.prior = AminoAcidPrior() if prior is None else prior
+        self.frozen_insertions = frozen_insertions
+
+    def init_params(self, key, input_dim: int) -> dict:
+        """``input_dim`` includes the terminal channel (s = input_dim - 1)."""
+        s = input_dim - 1
+        em, ins = [], []
+        for i, length in enumerate(self.lengths):
+            k1 = jax.random.fold_in(key, 2 * i)
+            k2 = jax.random.fold_in(key, 2 * i + 1)
+            e_init = self.emission_init[i]
+            i_init = self.insertion_init[i]
+            em.append(
+                e_init(k1, (length, s))
+                if e_init is not None
+                else jnp.zeros((length, s))
+            )
+            ins.append(
+                i_init(k2, (s,)) if i_init is not None else jnp.zeros((s,))
+            )
+        return {"emission_kernel": em, "insertion_kernel": ins}
+
+    def trainable_mask(self, params) -> dict:
+        return {
+            "emission_kernel": [True] * self.num_models,
+            "insertion_kernel": [not self.frozen_insertions] * self.num_models,
+        }
+
+    def make_emission_matrix_from_kernels(self, em, ins, length):
+        """(2L+3, s+1) emission matrix for one model (``Emitter.py:97-117``)."""
+        s = em.shape[-1]
+        i1 = ins[None]  # left flank
+        i2 = jnp.broadcast_to(ins[None], (length + 1, s))  # inserts + unanno + rflank
+        emissions = jnp.concatenate([i1, em, i2], axis=0)
+        emissions = jax.nn.softmax(emissions, axis=-1)
+        emissions = jnp.concatenate(
+            [emissions, jnp.zeros_like(emissions[:, :1])], axis=-1
+        )
+        terminal = jax.nn.one_hot(jnp.asarray([s]), s + 1, dtype=em.dtype)
+        return jnp.concatenate([emissions, terminal], axis=0)
+
+    def make_B(self, params):
+        """(num_models, q_max, s+1), padded with zero rows."""
+        mats = []
+        for i, length in enumerate(self.lengths):
+            mat = self.make_emission_matrix_from_kernels(
+                params["emission_kernel"][i],
+                params["insertion_kernel"][i],
+                length,
+            )
+            pad = self.max_num_states - mat.shape[0]
+            if pad:
+                mat = jnp.concatenate(
+                    [mat, jnp.zeros((pad, mat.shape[-1]), mat.dtype)], axis=0
+                )
+            mats.append(mat)
+        return jnp.stack(mats, axis=0)
+
+    def emissions(self, params, inputs, end_hints=None, training: bool = False):
+        """inputs: (m, ..., s_in) distributions over the alphabet; returns
+        (m, ..., q_max)."""
+        B = self.make_B(params)
+        s_in = inputs.shape[-1]
+        emit = jnp.einsum("mbls,mqs->mblq", inputs, B[..., :s_in])
+        if end_hints is not None:
+            left = end_hints[..., :1, :] * emit[..., :1, :]
+            right = end_hints[..., 1:, :] * emit[..., -1:, :]
+            emit = jnp.concatenate([left, emit[..., 1:-1, :], right], axis=-2)
+        return emit
+
+    def prior_log_density(self, params):
+        return self.prior(self.make_B(params), lengths=self.lengths)
+
+    def aux_loss(self, params):
+        return jnp.zeros((), jnp.float32)
+
+    def duplicate(self, params, model_indices=None, share_kernels: bool = False):
+        """Sub-select / copy models (``Emitter.py:171-197``)."""
+        if model_indices is None:
+            model_indices = list(range(self.num_models))
+        copy = ProfileEmissions(
+            [self.lengths[i] for i in model_indices],
+            prior=self.prior,
+            frozen_insertions=self.frozen_insertions,
+        )
+        sub = {
+            "emission_kernel": [params["emission_kernel"][i] for i in model_indices],
+            "insertion_kernel": [
+                params["insertion_kernel"][i] for i in model_indices
+            ],
+        }
+        if not share_kernels:
+            sub = jax.tree.map(jnp.copy, sub)
+        return copy, sub
+
+    def get_config(self):
+        return {
+            "lengths": self.lengths,
+            "frozen_insertions": self.frozen_insertions,
+        }
