@@ -177,7 +177,7 @@ def _split_chunks(E, parallel_factor):
     return E.reshape(m, b * parallel_factor, c, q), c
 
 
-def _chunk_summaries(init, A, E, parallel_factor):
+def _chunk_summaries(A, E, parallel_factor, first_chunk_identity=True):
     """Summary pass: per-chunk transfer operators.
 
     Returns ``C`` of shape (P, m, b, q, q) with
@@ -188,6 +188,10 @@ def _chunk_summaries(init, A, E, parallel_factor):
     conditioning scheme as ``MsaHmmCell.get_initial_state``
     (``MsaHmmCell.py:121-142``), built here without materializing per-position
     q² tensors.
+
+    ``first_chunk_identity`` may be a traced boolean; sequence-sharded
+    callers pass ``device_index == 0`` so that only the global first block
+    uses the identity start.
     """
     m, b, L, q = E.shape
     P = parallel_factor
@@ -196,9 +200,9 @@ def _chunk_summaries(init, A, E, parallel_factor):
 
     eye = jnp.eye(q, dtype=E.dtype)
     # First-step operator rows: identity for chunk 0, A-rows for chunks > 0.
-    is_first = (
-        jnp.arange(P) == 0
-    ).astype(E.dtype)[None, None, :, None, None]  # (1, 1, P, 1, 1)
+    is_first = jnp.asarray(
+        (jnp.arange(P) == 0) & first_chunk_identity, E.dtype
+    )[None, None, :, None, None]  # (1, 1, P, 1, 1)
     R0 = is_first * eye + (1.0 - is_first) * A[:, None, None]  # (m, 1|b, P, q, q)
     R0 = jnp.broadcast_to(R0, (m, b, P, q, q)).reshape(m, b * P, q, q)
 
@@ -351,7 +355,7 @@ def forward(init, A, E, parallel_factor: int = 1) -> ForwardResult:
     if parallel_factor == 1:
         la, ll = _forward_seq(init, A, E)
         return ForwardResult(la, ll)
-    C, _ = _chunk_summaries(init, A, E, parallel_factor)
+    C, _ = _chunk_summaries(A, E, parallel_factor)
     T, _, ll = _boundary_values(init, C)
     la = _forward_outputs(init, A, E, T, parallel_factor)
     return ForwardResult(la, ll)
@@ -364,7 +368,7 @@ def backward(init, A, E, parallel_factor: int = 1) -> jax.Array:
     """
     if parallel_factor == 1:
         return _backward_seq(A, E)
-    C, _ = _chunk_summaries(init, A, E, parallel_factor)
+    C, _ = _chunk_summaries(A, E, parallel_factor)
     _, S, _ = _boundary_values(init, C)
     return _backward_outputs(A, E, S, parallel_factor)
 
@@ -393,7 +397,7 @@ def log_likelihood(init, A, E, parallel_factor: int = 1) -> jax.Array:
 
         (alpha, ll), _ = lax.scan(step, carry0, Et[1:])
         return ll
-    C, _ = _chunk_summaries(init, A, E, parallel_factor)
+    C, _ = _chunk_summaries(A, E, parallel_factor)
     _, _, ll = _boundary_values(init, C)
     return ll
 
@@ -417,7 +421,7 @@ def posterior(
         la, ll = _forward_seq(init, A, E)
         lb = _backward_seq(A, E)
     else:
-        C, _ = _chunk_summaries(init, A, E, parallel_factor)
+        C, _ = _chunk_summaries(A, E, parallel_factor)
         T, S, ll = _boundary_values(init, C)
         la = _forward_outputs(init, A, E, T, parallel_factor)
         lb = _backward_outputs(A, E, S, parallel_factor)

@@ -1,0 +1,228 @@
+"""Multi-device sharding for HMM inference and training.
+
+The reference is single-process, single-device eager PyTorch with no
+distributed code at all (SURVEY.md §2); this module provides the TPU-native
+scaling design demanded by BASELINE.json:
+
+* **Data parallelism** — batches sharded over a ``data`` mesh axis with
+  ``jax.jit`` + ``NamedSharding``; loss/gradient reductions become XLA
+  ``psum`` collectives over ICI/DCN automatically.
+* **State parallelism (TP analog)** — for large state counts (q >= 500,
+  BASELINE config 5) the transition matrix columns, emission columns and the
+  alpha carry are sharded over a ``state`` axis; each scan step computes a
+  partial ``alpha @ A`` and reduces with ``psum`` (``shard_map``).
+* **Sequence parallelism (SP/CP analog)** — the sequence axis is sharded
+  over a ``seq`` axis; each device computes one ``q x q`` log-space block
+  summary (the same operator the chunked engine uses per chunk,
+  :mod:`hmm_layer_tpu.ops.recursion`), summaries are ``all_gather``-ed
+  (tiny, off the critical path) and combined device-locally.
+
+All functions take explicit ``jax.sharding.Mesh`` handles and are pure.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops.recursion import _chunk_summaries, _clamped
+from ..ops.semiring import logmatmul
+
+_PRECISION = lax.Precision.HIGHEST
+
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "replicate",
+    "data_parallel_fn",
+    "state_sharded_log_likelihood",
+    "seq_sharded_log_likelihood",
+]
+
+
+def make_mesh(axis_sizes: dict[str, int], devices=None) -> Mesh:
+    """Create a mesh from ``{"data": 2, "state": 2, ...}``.
+
+    Axis order follows dict order; total size must not exceed available
+    devices.
+    """
+    names = tuple(axis_sizes.keys())
+    shape = tuple(axis_sizes.values())
+    n = int(np.prod(shape))
+    devices = devices if devices is not None else jax.devices()[:n]
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    dev_array = np.asarray(devices[:n]).reshape(shape)
+    return Mesh(dev_array, names)
+
+
+def shard_batch(x, mesh: Mesh, axis: str = "data", batch_dim: int = 1):
+    """Place an (m, b, L, s) batch with ``b`` sharded over ``axis``."""
+    spec = [None] * x.ndim
+    spec[batch_dim] = axis
+    return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a params pytree across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)
+
+
+def data_parallel_fn(fn, mesh: Mesh, axis: str = "data", batch_dim: int = 1):
+    """Jit ``fn(params, x, ...)`` with ``x`` batch-sharded over ``axis``.
+
+    XLA inserts the cross-device reductions (mean/sum over batch) as psum
+    collectives; params are replicated.
+    """
+    def in_shardings(x_ndim):
+        spec = [None] * x_ndim
+        spec[batch_dim] = axis
+        return NamedSharding(mesh, P(*spec))
+
+    @partial(jax.jit)
+    def wrapped(params, x, *args, **kwargs):
+        x = jax.lax.with_sharding_constraint(x, in_shardings(x.ndim))
+        return fn(params, x, *args, **kwargs)
+
+    return wrapped
+
+
+# ---------------------------------------------------------------------------
+# State-sharded forward (tensor-parallel analog)
+# ---------------------------------------------------------------------------
+
+
+def state_sharded_log_likelihood(
+    init, A, E, mesh: Mesh, state_axis: str = "state", data_axis: str | None = None
+):
+    """Log-likelihood with the state dimension sharded across devices.
+
+    Shards: ``A`` by rows (contraction dim) AND columns jointly is not
+    needed — each device holds the row block ``A[shard_i, :]`` and the
+    alpha/emission column block; every step computes the partial product
+    ``alpha_local @ A_local`` and ``psum``s over the state axis.
+
+    Args:
+        init: (m, q); A: (m, q, q); E: (m, b, L, q). ``q`` must be divisible
+            by the state-axis size (pad upstream if necessary).
+    Returns:
+        (m, b) log-likelihoods, replicated.
+    """
+    n_state = mesh.shape[state_axis]
+    q = E.shape[-1]
+    assert q % n_state == 0, f"q={q} not divisible by state axis size {n_state}"
+    batch_spec = data_axis
+
+    in_specs = (
+        P(None, state_axis),  # init (m, q)
+        P(None, state_axis, None),  # A rows sharded (m, q, q)
+        P(None, batch_spec, None, state_axis),  # E (m, b, L, q)
+    )
+    out_specs = P(None, batch_spec)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    def _ll(init_l, A_l, E_l):
+        # Local shapes: init_l (m, q_l); A_l (m, q_l, q); E_l (m, b_l, L, q_l).
+        m, b, L, q_l = E_l.shape
+        idx = lax.axis_index(state_axis)
+        Et = jnp.moveaxis(E_l, 2, 0)  # (L, m, b, q_l)
+
+        s0 = _clamped(Et[0]) * _clamped(init_l)[:, None, :]
+        z0 = lax.psum(jnp.sum(s0, axis=-1, keepdims=True), state_axis)
+        carry0 = (s0 / z0, jnp.log(z0[..., 0]))
+
+        def step(carry, e_t):
+            alpha_l, ll = carry  # alpha_l: local columns (m, b, q_l)
+            partial_r = jnp.einsum(
+                "mbq,mqp->mbp", alpha_l, A_l, precision=_PRECISION
+            )  # (m, b, q) partial over local contraction rows
+            r_full = lax.psum(partial_r, state_axis)
+            r_l = lax.dynamic_slice_in_dim(r_full, idx * q_l, q_l, axis=-1)
+            s = _clamped(e_t) * _clamped(r_l)
+            z = lax.psum(jnp.sum(s, axis=-1, keepdims=True), state_axis)
+            return (s / z, ll + jnp.log(z[..., 0])), None
+
+        (alpha_l, ll), _ = lax.scan(step, carry0, Et[1:])
+        return ll
+
+    return _ll(init, A, E)
+
+
+# ---------------------------------------------------------------------------
+# Sequence-sharded forward (sequence/context-parallel analog)
+# ---------------------------------------------------------------------------
+
+
+def seq_sharded_log_likelihood(
+    init,
+    A,
+    E,
+    mesh: Mesh,
+    seq_axis: str = "seq",
+    data_axis: str | None = None,
+    local_parallel_factor: int = 1,
+):
+    """Log-likelihood with the sequence axis sharded across devices.
+
+    Each device reduces its sequence block to a ``q x q`` log-space transfer
+    operator (optionally using the intra-device chunked engine with
+    ``local_parallel_factor``), the tiny summaries are all-gathered over the
+    ``seq`` axis, and the final product is folded locally — one collective
+    per sequence, off the per-step critical path.
+    """
+    n_seq = mesh.shape[seq_axis]
+    L = E.shape[2]
+    assert L % n_seq == 0, f"L={L} not divisible by seq axis size {n_seq}"
+
+    in_specs = (
+        P(None, None),
+        P(None, None, None),
+        P(None, data_axis, seq_axis, None),
+    )
+    out_specs = P(None, data_axis)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    def _ll(init_l, A_l, E_l):
+        m, b, L_l, q = E_l.shape
+        idx = lax.axis_index(seq_axis)
+
+        # Local block summary, conditioned like the chunked engine: only the
+        # globally-first block starts from identity; all others condition on
+        # the last state of the previous device's block (A-rows start).
+        P_local = max(local_parallel_factor, 1)
+        C, _ = _chunk_summaries(
+            A_l, E_l, P_local, first_chunk_identity=(idx == 0)
+        )
+        # Fold local chunk operators into one block operator.
+        block = C[0]
+        for p in range(1, P_local):
+            block = logmatmul(block, C[p])
+
+        # Exchange block summaries (q x q, tiny) and fold left-to-right.
+        blocks = lax.all_gather(block, seq_axis)  # (n_seq, m, b, q, q)
+        log_init = jnp.log(_clamped(init_l))
+        v = log_init[None, :, None, :]  # (1, m, 1, q) -> broadcast over b
+        v = jnp.broadcast_to(v[0], (m, b, q))
+        for d in range(n_seq):
+            v = logmatmul(v[..., None, :], blocks[d])[..., 0, :]
+        return jax.nn.logsumexp(v, axis=-1)
+
+    return _ll(init, A, E)
