@@ -15,18 +15,21 @@ from .ops.recursion import (
     viterbi,
 )
 from .layer import HMMLayer
-from . import models
+from .training import Trainer
+from . import models, utils
 
 __version__ = "0.1.0"
 
 __all__ = [
     "ForwardResult",
     "HMMLayer",
+    "Trainer",
     "backward",
     "forward",
     "log_likelihood",
     "models",
     "posterior",
+    "utils",
     "viterbi",
     "__version__",
 ]

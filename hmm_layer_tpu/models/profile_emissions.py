@@ -23,6 +23,8 @@ used here.
 
 from __future__ import annotations
 
+import enum
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -30,7 +32,23 @@ import jax.numpy as jnp
 from .priors import AminoAcidPrior
 from .profile_transitions import get_num_states
 
-__all__ = ["ProfileEmissions"]
+__all__ = ["ProfileEmissions", "TemperatureMode"]
+
+
+class TemperatureMode(enum.Enum):
+    """Softmax-temperature schedules for emission training
+    (``Emitter.py:232-247``)."""
+
+    TRAINABLE = 1
+    LENGTH_NORM = 2
+    COLD_TO_WARM = 3
+    WARM_TO_COLD = 4
+    CONSTANT = 5
+    NONE = 6
+
+    @staticmethod
+    def from_string(name: str) -> "TemperatureMode":
+        return TemperatureMode[name.upper()]
 
 
 class ProfileEmissions:

@@ -1,0 +1,155 @@
+"""Gradient-based MAP training for HMM layers.
+
+The reference ships no training loop, optimizer integration, checkpointing
+or metrics (SURVEY.md §0); this provides the TPU-native equivalent: an
+optax-based trainer over :class:`hmm_layer_tpu.layer.HMMLayer` with
+
+* frozen-parameter support (``trainable_mask`` from transition/emission
+  models — e.g. frozen insertions, ``Emitter.py:70-72``, and frozen kernel
+  parts, ``Transitioner.py:22``);
+* optional data-parallel execution over a mesh axis;
+* periodic checkpointing (:mod:`hmm_layer_tpu.utils.checkpoint`) and
+  JSON-lines metrics.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from .layer import HMMLayer
+from .utils import checkpoint as ckpt
+from .utils.metrics import MetricsLogger, Throughput
+
+__all__ = ["Trainer", "make_frozen_mask"]
+
+
+def make_frozen_mask(layer: HMMLayer, params) -> dict:
+    """Boolean pytree: True = trainable. Uses each component's
+    ``trainable_mask`` when available, else all-True."""
+
+    def mask_of(component, p):
+        if hasattr(component, "trainable_mask"):
+            return component.trainable_mask(p)
+        return jax.tree.map(lambda _: True, p)
+
+    return {
+        "transitions": mask_of(layer.transitions, params["transitions"]),
+        "emissions": [
+            mask_of(em, p) for em, p in zip(layer.emissions, params["emissions"])
+        ],
+    }
+
+
+class Trainer:
+    """MAP trainer for an :class:`HMMLayer`.
+
+    Args:
+        layer: the HMM layer (defines the loss).
+        optimizer: optax transform; default adam(1e-2).
+        mesh / data_axis: optional mesh for data-parallel batches.
+        checkpoint_dir: if set, checkpoints every ``checkpoint_every`` steps.
+    """
+
+    def __init__(
+        self,
+        layer: HMMLayer,
+        optimizer=None,
+        mesh=None,
+        data_axis: str = "data",
+        checkpoint_dir: str | None = None,
+        checkpoint_every: int = 100,
+        metrics_path: str | None = None,
+    ):
+        self.layer = layer
+        self.optimizer = optimizer or optax.adam(1e-2)
+        self.mesh = mesh
+        self.data_axis = data_axis
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every = checkpoint_every
+        self.metrics = MetricsLogger(metrics_path)
+        self._train_step = None
+
+    def init(self, key, input_dim: int):
+        params = self.layer.init_params(key, input_dim)
+        mask = make_frozen_mask(self.layer, params)
+        labels = jax.tree.map(
+            lambda trainable: "trainable" if trainable else "frozen", mask
+        )
+        tx = optax.multi_transform(
+            {"trainable": self.optimizer, "frozen": optax.set_to_zero()},
+            labels,
+        )
+        opt_state = tx.init(params)
+        self._tx = tx
+        return params, opt_state
+
+    def _build_step(self):
+        layer, tx = self.layer, self._tx
+
+        def train_step(params, opt_state, batch, indices):
+            loss, grads = jax.value_and_grad(
+                lambda p: layer.loss(p, batch, indices=indices)
+            )(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        step = jax.jit(train_step)
+        if self.mesh is not None:
+            from .parallel.sharding import shard_batch
+
+            def sharded_step(params, opt_state, batch, indices=None):
+                batch = shard_batch(batch, self.mesh, self.data_axis)
+                return step(params, opt_state, batch, indices)
+
+            return sharded_step
+        return step
+
+    def fit(
+        self,
+        params,
+        opt_state,
+        batches: Iterable,
+        steps: int | None = None,
+        log_every: int = 10,
+    ):
+        """Run training over an iterable of (m, b, L, s) batches (or
+        (batch, indices) pairs when sequence weights are used)."""
+        if self._train_step is None:
+            self._train_step = self._build_step()
+        meter = Throughput()
+        loss = None
+        for step_idx, batch in enumerate(batches):
+            if steps is not None and step_idx >= steps:
+                break
+            if isinstance(batch, tuple):
+                batch, indices = batch
+            else:
+                indices = None
+            params, opt_state, loss = self._train_step(
+                params, opt_state, batch, indices
+            )
+            meter.update(batch.shape[0] * batch.shape[1])
+            if step_idx % log_every == 0:
+                loss_val = float(np.asarray(loss))  # host sync
+                self.metrics.log(
+                    step_idx,
+                    loss=loss_val,
+                    seqs_per_sec=meter.seqs_per_sec,
+                )
+            if (
+                self.checkpoint_dir
+                and step_idx
+                and step_idx % self.checkpoint_every == 0
+            ):
+                ckpt.save_checkpoint(
+                    f"{self.checkpoint_dir}/step_{step_idx}.npz",
+                    params,
+                    step=step_idx,
+                )
+        return params, opt_state, loss

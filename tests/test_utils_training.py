@@ -1,0 +1,203 @@
+"""Generic scan drivers, checkpoint round-trip, trainer smoke test,
+substitution models."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from hmm_layer_tpu.layer import HMMLayer
+from hmm_layer_tpu.models import SimpleGenePredEmissions, SimpleGenePredTransitions
+from hmm_layer_tpu.ops.scan import bidirectional_scan, rnn_scan
+from hmm_layer_tpu.training import Trainer, make_frozen_mask
+from hmm_layer_tpu.utils import checkpoint as ckpt
+from hmm_layer_tpu.utils.substitution import (
+    lg4x_matrices,
+    lg_matrix,
+    make_rate_matrix,
+    parse_paml,
+    transition_probs,
+)
+
+KEY = jax.random.PRNGKey(3)
+
+
+class TestGenericScan:
+    def test_rnn_scan_cumsum_cell(self):
+        def cell(x, s):
+            new = s + x
+            return new, new
+
+        x = jnp.asarray(np.arange(12, dtype=np.float32).reshape(2, 6))
+        out = rnn_scan(cell, x, jnp.zeros((2,)))
+        np.testing.assert_allclose(out, np.cumsum(np.asarray(x), axis=1))
+
+    def test_rnn_scan_reverse_order(self):
+        def cell(x, s):
+            new = s + x
+            return new, new
+
+        x = jnp.asarray(np.arange(6, dtype=np.float32).reshape(1, 6))
+        out = rnn_scan(cell, x, jnp.zeros((1,)), reverse=True)
+        # reverse cumsum, reported in original time order
+        np.testing.assert_allclose(
+            out, np.cumsum(np.asarray(x)[:, ::-1], axis=1)[:, ::-1]
+        )
+
+    def test_return_state_and_last(self):
+        def cell(x, s):
+            return s * 2 + x, s + 1
+
+        x = jnp.ones((3, 4))
+        out, state = rnn_scan(
+            cell, x, jnp.zeros((3,)), return_sequences=False, return_state=True
+        )
+        np.testing.assert_allclose(state, 4.0)
+        np.testing.assert_allclose(out, 3 * 2 + 1)
+
+    def test_bidirectional_merges(self):
+        def cell(x, s):
+            new = s + x
+            return new, new
+
+        x = jnp.ones((1, 5))
+        for mode, check in [
+            ("sum", lambda f, b, m: np.allclose(m, f + b)),
+            ("concat", lambda f, b, m: m.shape[-1] == 2 * f.shape[-1] if f.ndim > 1 else m.shape == (1, 10)),
+            ("mul", lambda f, b, m: np.allclose(m, f * b)),
+        ]:
+            fwd = rnn_scan(cell, x, jnp.zeros((1,)))
+            bwd = rnn_scan(cell, x, jnp.zeros((1,)), reverse=True)
+            merged = bidirectional_scan(
+                cell, cell, x, jnp.zeros((1,)), jnp.zeros((1,)), merge_mode=mode
+            )
+            assert check(np.asarray(fwd), np.asarray(bwd), np.asarray(merged))
+
+    def test_bad_merge_mode(self):
+        with pytest.raises(ValueError):
+            bidirectional_scan(
+                lambda x, s: (x, s),
+                lambda x, s: (x, s),
+                jnp.ones((1, 3)),
+                0.0,
+                0.0,
+                merge_mode="bogus",
+            )
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        params = {
+            "transitions": {"kernel": jnp.arange(6.0).reshape(2, 3)},
+            "emissions": [{"w": jnp.ones((4,))}, {"w": jnp.zeros((2, 2))}],
+        }
+        path = str(tmp_path / "ck.npz")
+        ckpt.save_checkpoint(path, params, step=7, note="hello")
+        like = jax.tree.map(jnp.zeros_like, params)
+        restored = ckpt.load_checkpoint(path, like)
+        for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(params)):
+            np.testing.assert_allclose(a, b)
+        meta = ckpt.load_metadata(path)
+        assert meta["step"] == 7 and meta["note"] == "hello"
+
+    def test_shape_mismatch_raises(self, tmp_path):
+        params = {"w": jnp.ones((3,))}
+        path = str(tmp_path / "ck.npz")
+        ckpt.save_checkpoint(path, params)
+        with pytest.raises(ValueError):
+            ckpt.load_checkpoint(path, {"w": jnp.ones((4,))})
+
+    def test_missing_key_raises(self, tmp_path):
+        path = str(tmp_path / "ck.npz")
+        ckpt.save_checkpoint(path, {"w": jnp.ones((3,))})
+        with pytest.raises(KeyError):
+            ckpt.load_checkpoint(path, {"v": jnp.ones((3,))})
+
+
+class TestTrainer:
+    def _layer(self):
+        return HMMLayer(
+            SimpleGenePredTransitions(),
+            SimpleGenePredEmissions(),
+            use_prior=False,
+        )
+
+    def _batches(self, n, b=4, L=24):
+        key = KEY
+        for _ in range(n):
+            key, sub = jax.random.split(key)
+            yield jax.nn.softmax(jax.random.normal(sub, (1, b, L, 7)), axis=-1)
+
+    def test_fit_reduces_loss(self, tmp_path):
+        layer = self._layer()
+        trainer = Trainer(
+            layer,
+            optimizer=optax.adam(5e-2),
+            checkpoint_dir=str(tmp_path),
+            checkpoint_every=5,
+        )
+        params, opt_state = trainer.init(KEY, input_dim=7)
+        batch = next(iter(self._batches(1)))
+        loss0 = float(layer.loss(params, batch))
+        params, opt_state, loss = trainer.fit(
+            params, opt_state, [batch] * 12, log_every=5
+        )
+        assert float(layer.loss(params, batch)) < loss0
+        assert os.path.exists(tmp_path / "step_5.npz")
+        assert os.path.exists(tmp_path / "step_10.npz")
+
+    def test_frozen_mask_keeps_params(self):
+        from hmm_layer_tpu.models import ProfileEmissions, ProfileTransitions
+
+        layer = HMMLayer(
+            ProfileTransitions(4),
+            ProfileEmissions(4, frozen_insertions=True),
+            use_prior=False,
+        )
+        trainer = Trainer(layer, optimizer=optax.sgd(0.5))
+        params, opt_state = trainer.init(KEY, input_dim=25)
+        ins_before = np.asarray(params["emissions"][0]["insertion_kernel"][0])
+        x = jax.nn.one_hot(
+            jax.random.randint(KEY, (1, 2, 6), 0, 20), 25, dtype=jnp.float32
+        )
+        params, opt_state, _ = trainer.fit(params, opt_state, [x, x, x])
+        ins_after = np.asarray(params["emissions"][0]["insertion_kernel"][0])
+        np.testing.assert_array_equal(ins_before, ins_after)
+        # but match kernels did move
+        em_after = np.asarray(params["emissions"][0]["emission_kernel"][0])
+        assert not np.allclose(em_after, 0.0)
+
+
+class TestSubstitution:
+    def test_lg(self):
+        R, p = lg_matrix()
+        assert R.shape == (20, 20) and np.allclose(R, R.T)
+        assert abs(p.sum() - 1) < 1e-4
+
+    def test_lg4x(self):
+        mats = lg4x_matrices()
+        assert len(mats) == 4
+        for R, p in mats:
+            assert abs(p.sum() - 1) < 1e-3
+
+    def test_rate_matrix_and_expm(self):
+        R, p = lg_matrix()
+        Q = make_rate_matrix(R, p)
+        assert np.allclose(Q.sum(-1), 0, atol=1e-5)
+        P = np.asarray(transition_probs(Q, np.asarray(1.0)))
+        assert np.allclose(P.sum(-1), 1, atol=1e-4)
+        # t=0 -> identity
+        P0 = np.asarray(transition_probs(Q, np.asarray(0.0)))
+        assert np.allclose(P0, np.eye(20), atol=1e-5)
+
+    def test_parse_paml_reorder(self):
+        R, p = lg_matrix()
+        # round-trip through parse_paml with a permuted alphabet
+        alpha = "ACDEFGHIKLMNPQRSTVWY"
+        R2, p2 = lg_matrix(alpha)
+        assert R2.shape == (20, 20)
+        assert not np.allclose(R, R2)  # reordered
+        assert abs(p2.sum() - 1) < 1e-4
