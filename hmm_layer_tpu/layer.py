@@ -139,7 +139,7 @@ class HMMLayer:
     def viterbi(self, params, inputs):
         """Most likely state paths; (m, b, L) int32."""
         init, A, E = self._ingredients(params, inputs, None, False)
-        return recursion.viterbi(init, A, E)
+        return recursion.viterbi(init, A, E, self.parallel_factor)
 
     # -- priors / weights / losses ----------------------------------------------
 

@@ -47,7 +47,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .semiring import EPS, logmatmul, maxargmatvec
+from .semiring import EPS, logmatmul, maxargmatvec, maxmatmul
 
 # The DP recursions are numerically sensitive: on TPU the default matmul
 # precision is bfloat16, whose per-step rounding accumulates linearly in L
@@ -341,6 +341,89 @@ def _backward_outputs(A, E, S, parallel_factor):
 
 
 # ---------------------------------------------------------------------------
+# Chunked parallel Viterbi (max-plus two-pass scan)
+# ---------------------------------------------------------------------------
+
+# Sentinel for impossible paths in the tropical semiring. Unlike LOG_ZERO
+# (soft, gradient-friendly) this must never win an argmax against any real
+# path score, including paths of clamped-EPS steps over long chunks.
+_NEG = jnp.float32(-1e30)
+
+
+def _viterbi_chunked(init, A, E, parallel_factor):
+    """Parallel Viterbi: identical two-pass structure as the sum-product
+    engine, with the tropical semiring ``(max, +)`` in log space.
+
+    The decoded state at every position is ``argmax_j delta_t(j) + psi_t(j)``
+    where ``delta`` is the max-plus forward and ``psi`` the max-plus backward
+    variable — the optimal path visits exactly the maximizing state at each
+    position (unique up to ties, which random/trained emissions break a.s.).
+    This avoids a global backtrace, so decode depth is O(L/P + log P).
+    """
+    m, b, L, q = E.shape
+    P = parallel_factor
+    log_A = jnp.log(_clamped(A))  # (m, q, q)
+    log_init = jnp.log(_clamped(init))  # (m, q)
+    log_E = jnp.log(_clamped(E))
+    Ec, c = _split_chunks(log_E, P)  # (m, bP, c, q) — reshape only
+    Et = jnp.moveaxis(Ec, 2, 0)  # (c, m, bP, q)
+
+    # -- summary pass: per-chunk max-plus transfer operators -----------------
+    eye = jnp.where(jnp.eye(q, dtype=bool), 0.0, _NEG).astype(E.dtype)
+    is_first = (jnp.arange(P) == 0)[None, None, :, None, None]
+    R0 = jnp.where(is_first, eye, log_A[:, None, None])  # (m, 1|b, P, q, q)
+    R0 = jnp.broadcast_to(R0, (m, b, P, q, q)).reshape(m, b * P, q, q)
+    M0 = R0 + Et[0][..., None, :]
+
+    def sum_step(M, e_t):
+        return maxmatmul(M, log_A[:, None]) + e_t[..., None, :], None
+
+    M, _ = lax.scan(sum_step, M0, Et[1:])
+    C = jnp.moveaxis(M.reshape(m, b, P, q, q), 2, 0)  # (P, m, b, q, q)
+
+    # -- boundary values via max-plus associative scan ------------------------
+    prefix = lax.associative_scan(maxmatmul, C, axis=0)
+    T = jnp.max(log_init[None, :, None, :, None] + prefix, axis=-2)  # (P,m,b,q)
+    suffix = lax.associative_scan(
+        lambda x, y: maxmatmul(y, x), C, axis=0, reverse=True
+    )
+    S_inner = jnp.max(suffix[1:], axis=-1)  # (P-1, m, b, q)
+    S = jnp.concatenate([S_inner, jnp.zeros_like(S_inner[:1])], axis=0)
+
+    # -- output passes: per-position delta (fwd) and psi (bwd) ---------------
+    r_later = jnp.max(
+        T[:-1][..., :, None] + log_A[None, :, None], axis=-2
+    )  # (P-1, m, b, q)
+    r_first = jnp.broadcast_to(log_init[None, :, None, :], (1, m, b, q))
+    r0 = jnp.moveaxis(
+        jnp.concatenate([r_first, r_later], axis=0), 0, 2
+    ).reshape(m, b * P, q)
+
+    def fwd_step(delta, e_t):
+        new = jnp.max(delta[..., :, None] + log_A[:, None], axis=-2) + e_t
+        return new, new
+
+    delta0 = r0 + Et[0]
+    _, delta_rest = lax.scan(fwd_step, delta0, Et[1:])
+    delta = jnp.concatenate([delta0[None], delta_rest], axis=0)  # (c, m, bP, q)
+
+    psi_last = jnp.moveaxis(S, 0, 2).reshape(m, b * P, q)
+
+    def bwd_step(psi, e_next):
+        new = jnp.max(
+            log_A[:, None] + (e_next + psi)[..., None, :], axis=-1
+        )
+        return new, new
+
+    _, psi_rest = lax.scan(bwd_step, psi_last, Et[1:], reverse=True)
+    psi = jnp.concatenate([psi_rest, psi_last[None]], axis=0)  # (c, m, bP, q)
+
+    states = jnp.argmax(delta + psi, axis=-1).astype(jnp.int32)  # (c, m, bP)
+    states = jnp.moveaxis(states, 0, 2).reshape(m, b, P, c)
+    return states.reshape(m, b, L)
+
+
+# ---------------------------------------------------------------------------
 # Public API
 # ---------------------------------------------------------------------------
 
@@ -431,10 +514,15 @@ def posterior(
     return log_gamma, ll
 
 
-def viterbi(init, A, E) -> jax.Array:
+def viterbi(init, A, E, parallel_factor: int = 1) -> jax.Array:
     """Most likely state path, shape (m, b, L) int32.
 
     A capability the reference only names (``MsaHmmCell.py:13``); required by
-    BASELINE.json. Sequential max-plus scan with backpointer trace.
+    BASELINE.json. ``parallel_factor == 1`` runs a sequential max-plus scan
+    with backpointer trace; ``parallel_factor > 1`` runs the chunked two-pass
+    max-plus engine (no backtrace — states recovered as
+    ``argmax(delta + psi)``), with O(L/P + log P) sequential depth.
     """
-    return _viterbi_seq(init, A, E)
+    if parallel_factor == 1:
+        return _viterbi_seq(init, A, E)
+    return _viterbi_chunked(init, A, E, parallel_factor)

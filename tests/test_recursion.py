@@ -139,6 +139,19 @@ class TestViterbi:
         )
         np.testing.assert_array_equal(paths[0, 0], bf_path)
 
+    @pytest.mark.parametrize("P", [2, 4, 8])
+    def test_chunked_matches_sequential(self, P):
+        init, A, E = random_hmm(RNG, q=5, L=64, b=3, peaked=True)
+        p1 = recursion.viterbi(*_stack(init, A, E), parallel_factor=1)
+        pP = recursion.viterbi(*_stack(init, A, E), parallel_factor=P)
+        np.testing.assert_array_equal(p1, pP)
+
+    def test_chunked_matches_oracle_uneven(self):
+        init, A, E = random_hmm(RNG, q=7, L=99, b=2, peaked=True)
+        paths = recursion.viterbi(*_stack(init, A, E), parallel_factor=11)
+        for i in range(2):
+            np.testing.assert_array_equal(paths[0, i], viterbi_np(init, A, E[i]))
+
 
 class TestGradients:
     def test_loglik_grad_matches_fd(self):
