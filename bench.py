@@ -5,6 +5,13 @@ Workload (BASELINE.json configs 2/3): posterior (forward+backward) of a
 emission probabilities — the same scope as the reference-equivalent CPU
 baseline in benchmarks/torch_cpu_baseline.py (eager per-timestep loop).
 
+Measurement: the axon TPU tunnel has a ~33 ms fixed per-dispatch cost that
+dwarfs device compute, and ``block_until_ready`` does not synchronize
+through it. So the benchmark loops the workload *inside* one compiled call
+(``lax.fori_loop`` with a per-iteration input perturbation to defeat CSE)
+and takes the slope between two repetition counts — fixed dispatch/readback
+overhead cancels exactly, leaving pure device time per batch.
+
 Prints exactly ONE JSON line to stdout:
     {"metric": ..., "value": N, "unit": "seqs/sec", "vs_baseline": N}
 Extra diagnostics go to stderr.
@@ -25,6 +32,7 @@ def log(*args):
 def main():
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from hmm_layer_tpu.ops import recursion
 
@@ -32,38 +40,41 @@ def main():
     rng = np.random.default_rng(0)
     init = jnp.asarray(rng.dirichlet(np.ones(Q)).astype(np.float32))[None]
     A = jnp.asarray(rng.dirichlet(np.ones(Q), size=Q).astype(np.float32))[None]
+    E = jnp.asarray(rng.uniform(0.05, 1.0, size=(1, B, L, Q)).astype(np.float32))
+    np.asarray(E[0, 0, 0, :1])  # materialize on device
 
     log(f"devices: {jax.devices()}")
 
-    # Several distinct input batches: repeated identical dispatches can be
-    # served from caches on some transports, and a host readback of the
-    # result is the only reliable synchronization point (block_until_ready
-    # does not fully synchronize through the axon tunnel).
-    inputs = [
-        jnp.asarray(rng.uniform(0.05, 1.0, size=(1, B, L, Q)).astype(np.float32))
-        for _ in range(4)
-    ]
-    for e in inputs:
-        np.asarray(e[0, 0, 0, :1])
+    def repeated(pf, n):
+        @jax.jit
+        def run(init, A, E):
+            def body(k, acc):
+                e_k = E * (1.0 + 1e-6 * k)  # defeat CSE across iterations
+                lg, ll = recursion.posterior(init, A, e_k, pf)
+                return acc + jnp.sum(lg[..., 0, :]) + jnp.sum(ll)
+            return lax.fori_loop(0, n, body, 0.0)
+        return run
 
+    K1, K2 = 3, 19
     candidates = [1, 99]
     best = None
     for pf in candidates:
-        fn = jax.jit(lambda i, a, e, pf=pf: recursion.posterior(i, a, e, pf))
+        run1, run2 = repeated(pf, K1), repeated(pf, K2)
         t0 = time.perf_counter()
-        _, ll = fn(init, A, inputs[0])
-        np.asarray(ll)
+        np.asarray(run1(init, A, E))  # compile + run
         compile_s = time.perf_counter() - t0
-        iters = 6
-        t0 = time.perf_counter()
-        for k in range(iters):
-            _, ll = fn(init, A, inputs[k % len(inputs)])
-            np.asarray(ll)  # true sync
-        elapsed = (time.perf_counter() - t0) / iters
-        sps = B / elapsed
+        np.asarray(run2(init, A, E))
+        times = {K1: [], K2: []}
+        for _ in range(3):
+            for k, fn in ((K1, run1), (K2, run2)):
+                t0 = time.perf_counter()
+                np.asarray(fn(init, A, E))
+                times[k].append(time.perf_counter() - t0)
+        per_batch = (min(times[K2]) - min(times[K1])) / (K2 - K1)
+        sps = B / per_batch
         log(
             f"parallel_factor={pf}: compile {compile_s:.1f}s, "
-            f"{elapsed*1e3:.1f} ms/batch, {sps:.1f} seqs/sec"
+            f"{per_batch*1e3:.2f} ms/batch (device), {sps:.1f} seqs/sec"
         )
         if best is None or sps > best[1]:
             best = (pf, sps)
@@ -86,7 +97,8 @@ def main():
             {
                 "metric": (
                     "gene-pred 15-state posterior decode throughput "
-                    f"(fwd+bwd, b={B}, L={L}, parallel_factor={best[0]})"
+                    f"(fwd+bwd, b={B}, L={L}, parallel_factor={best[0]}, "
+                    "device time)"
                 ),
                 "value": round(best[1], 2),
                 "unit": "seqs/sec",
