@@ -69,7 +69,20 @@ def maxmatmul(x: jax.Array, y: jax.Array) -> jax.Array:
 
     x: (..., n, k), y: (..., k, m) -> (..., n, m)
     ``Z[i, j] = max_k x[i, k] + y[k, j]``.
+
+    For small contraction dims the product is unrolled into an elementwise
+    max-tree of ``(..., n, m)`` terms — XLA fuses the whole tree in VMEM,
+    whereas the broadcast form materializes an ``(..., n, k, m)`` tensor in
+    HBM every call (measured 20x slower in the chunked Viterbi summary pass
+    at q=15, L=9999).
     """
+    k = x.shape[-1]
+    if k <= 128:
+        it = (x[..., :, t, None] + y[..., t, None, :] for t in range(k))
+        out = next(it)
+        for term in it:
+            out = jnp.maximum(out, term)
+        return out
     return jnp.max(x[..., :, :, None] + y[..., None, :, :], axis=-2)
 
 
