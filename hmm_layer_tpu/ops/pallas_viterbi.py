@@ -43,6 +43,9 @@ __all__ = ["maxplus_chunk_summaries", "supported"]
 _NEG = np.float32(-1e30)
 PAD = 16  # padded state count (sublane quantum); kernel supports q <= 16
 BLOCK_R = 512  # chunk elements per grid block (lanes)
+# Test hook: route the chunked-Viterbi dispatch through the kernel in
+# interpreter mode even on CPU (see ops.recursion._viterbi_chunked).
+FORCE_INTERPRET = False
 
 
 def supported(q: int, num_models: int) -> bool:
@@ -50,10 +53,13 @@ def supported(q: int, num_models: int) -> bool:
     return q <= PAD and num_models == 1
 
 
-def _kernel(c: int, P: int, q: int, A_ref, e_ref, out_ref, M):
+def _kernel(c: int, P: int, q: int, A_ref, Av_ref, e_ref, out_ref, M):
     """Grid = (R // BLOCK_R, c); one grid step = one timestep of one block.
 
-    A_ref: (PAD, PAD) SMEM — log transition matrix (padded rows/cols _NEG).
+    A_ref: (PAD, PAD) SMEM — log transition matrix (padded rows/cols _NEG),
+        read as per-step scalar broadcasts.
+    Av_ref: (PAD, PAD) VMEM — same matrix, read as column vectors at t==0
+        (SMEM only allows scalar loads).
     e_ref: (1, PAD, BLOCK_R) VMEM — log emissions of this step, transposed.
     out_ref: (PAD * PAD, BLOCK_R) VMEM — final operators, written at t==c-1.
     M: (PAD * PAD, BLOCK_R) f32 VMEM scratch — the running operators.
@@ -67,10 +73,11 @@ def _kernel(c: int, P: int, q: int, A_ref, e_ref, out_ref, M):
         # of every sequence (lane r with r % P == 0), A-rows otherwise.
         lane = jax.lax.broadcasted_iota(jnp.int32, (PAD, BLOCK_R), 1)
         is_first = ((jblk * BLOCK_R + lane) % P) == 0
+        sub = jax.lax.broadcasted_iota(jnp.int32, (PAD, 1), 0)
         for j in range(PAD):
             e_j = e_ref[0, j, :][None, :]  # (1, BLOCK_R)
-            a_col = A_ref[:, j][:, None]  # A[i, j] on sublanes i: (PAD, 1)
-            eye_col = jnp.full((PAD, 1), _NEG).at[j, 0].set(0.0)
+            a_col = Av_ref[:, j][:, None]  # A[i, j] on sublanes i: (PAD, 1)
+            eye_col = jnp.where(sub == j, 0.0, _NEG)
             rows = jnp.where(is_first, eye_col, a_col) + e_j
             M[j * PAD : (j + 1) * PAD, :] = rows
 
@@ -130,7 +137,8 @@ def maxplus_chunk_summaries(log_A, log_E_T, P: int, interpret: bool = False):
         partial(_kernel, c, P, q),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # A (PAD, PAD)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # A (PAD, PAD) scalars
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # A (PAD, PAD) vectors
             pl.BlockSpec(
                 (1, PAD, BLOCK_R),
                 lambda j, t: (t, 0, j),
@@ -143,8 +151,150 @@ def maxplus_chunk_summaries(log_A, log_E_T, P: int, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((PAD * PAD, R), jnp.float32),
         scratch_shapes=[pltpu.VMEM((PAD * PAD, BLOCK_R), jnp.float32)],
         interpret=interpret,
-    )(A_pad, E_pad)
+    )(A_pad, A_pad, E_pad)
 
     # (PAD*PAD, R) rows are (j, i) pairs -> (R, q, q) transposed operators.
     C_T = out.reshape(PAD, PAD, R)[:q, :q]
     return jnp.moveaxis(C_T, -1, 0)
+
+
+# ---------------------------------------------------------------------------
+# Output passes: per-position delta (forward) and fused psi+decode (backward)
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(c: int, q: int, A_ref, d0_ref, e_ref, out_ref, D):
+    """delta_t[p, r] = max_k delta_{t-1}[k, r] + A[k, p] + e_t[p, r].
+
+    Carry ``D``: (PAD, BLOCK_R) — states on sublanes, chunk elements on
+    lanes. Grid = (R // BLOCK_R, c), one step per (block, timestep).
+    """
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        D[:, :] = d0_ref[:, :]
+        out_ref[0] = d0_ref[:, :]
+
+    @pl.when(t > 0)
+    def _step():
+        for p in range(q):
+            acc = D[0:1, :] + A_ref[0, p]
+            for k in range(1, q):
+                acc = jnp.maximum(acc, D[k : k + 1, :] + A_ref[k, p])
+            out_ref[0, p : p + 1, :] = acc + e_ref[0, p : p + 1, :]
+        for p in range(q, PAD):
+            out_ref[0, p : p + 1, :] = jnp.full((1, BLOCK_R), _NEG)
+        D[:, :] = out_ref[0]
+
+
+def _backtrace_kernel(c: int, q: int, Av_ref, j_ref, d_ref, out_ref, S):
+    """Within-chunk Viterbi backtrace from stored deltas.
+
+    ``state_{t} = argmax_k delta_t[k, r] + A[k, state_{t+1}]`` walking the
+    grid's second axis in reverse time via the index maps (block ``c-1-g``);
+    no backpointers are stored — the decision is re-derived from the delta
+    pass. Carry ``S``: (1, BLOCK_R) int32 — the current state per lane.
+    """
+    g = pl.program_id(1)
+
+    @pl.when(g == 0)
+    def _init():
+        S[:, :] = j_ref[:, :]
+
+    @pl.when(g > 0)
+    def _step():
+        st = S[:, :]  # (1, BLOCK_R) — state_{t+1}
+        # acc[k, r] = A[k, st[r]] via a select tree over the q columns.
+        acc = jnp.full((PAD, BLOCK_R), _NEG)
+        for p in range(q):
+            acc = jnp.where(st == p, Av_ref[:, p][:, None], acc)
+        w = d_ref[0] + acc
+        vmax = jnp.max(w, axis=0, keepdims=True)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (PAD, BLOCK_R), 0)
+        # First index attaining the max (matches jnp.argmax tie-breaking).
+        S[:, :] = jnp.min(jnp.where(w >= vmax, idx, PAD), axis=0, keepdims=True)
+
+    out_ref[0] = S[:, :]
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def maxplus_decode(log_A, log_E_T, delta0, last_state, interpret: bool = False):
+    """Chunk-local delta pass + within-chunk backtrace decode.
+
+    Args:
+        log_A: (q, q) log transition matrix.
+        log_E_T: (c, q, R) log emissions (layout as in
+            :func:`maxplus_chunk_summaries`).
+        delta0: (q, R) conditional max-plus forward value at each chunk's
+            first position (decoded-border start + first emission).
+        last_state: (R,) int32 — the decoded optimal state at each chunk's
+            last position (from the chunk-level boundary backtrace).
+
+    Returns:
+        states: (c, R) int32 — decoded state at every chunk position; always
+        one valid optimal path (backtrace, not positionwise argmax).
+    """
+    c, q, R = log_E_T.shape
+    if q > PAD:
+        raise ValueError(f"pallas viterbi kernel supports q <= {PAD}, got {q}")
+    if R % BLOCK_R:
+        raise ValueError(f"R={R} must be padded to a multiple of {BLOCK_R}")
+
+    A_pad = jnp.full((PAD, PAD), _NEG, jnp.float32)
+    A_pad = A_pad.at[:q, :q].set(log_A.astype(jnp.float32))
+    E_pad = log_E_T
+    pad_rows = ((0, 0), (0, PAD - q), (0, 0))
+    if q < PAD:
+        E_pad = jnp.pad(log_E_T, pad_rows, constant_values=_NEG)
+    d0 = jnp.pad(delta0[None], pad_rows, constant_values=_NEG)[0]
+    j_last = last_state[None].astype(jnp.int32)  # (1, R)
+
+    grid = (R // BLOCK_R, c)
+    delta = pl.pallas_call(
+        partial(_fwd_kernel, c, q),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # A
+            pl.BlockSpec(
+                (PAD, BLOCK_R), lambda j, t: (0, j), memory_space=pltpu.VMEM
+            ),  # delta0
+            pl.BlockSpec(
+                (1, PAD, BLOCK_R),
+                lambda j, t: (t, 0, j),
+                memory_space=pltpu.VMEM,
+            ),  # emissions at t
+        ],
+        out_specs=pl.BlockSpec(
+            (1, PAD, BLOCK_R), lambda j, t: (t, 0, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((c, PAD, R), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((PAD, BLOCK_R), jnp.float32)],
+        interpret=interpret,
+    )(A_pad, d0, E_pad)
+
+    states = pl.pallas_call(
+        partial(_backtrace_kernel, c, q),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # A (column selects)
+            pl.BlockSpec(
+                (1, BLOCK_R), lambda j, g: (0, j), memory_space=pltpu.VMEM
+            ),  # last_state
+            pl.BlockSpec(
+                (1, PAD, BLOCK_R),
+                lambda j, g: (c - 1 - g, 0, j),
+                memory_space=pltpu.VMEM,
+            ),  # delta at t
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, BLOCK_R),
+            lambda j, g: (c - 1 - g, 0, j),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((c, 1, R), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((1, BLOCK_R), jnp.int32)],
+        interpret=interpret,
+    )(A_pad, j_last, delta)
+
+    return states[:, 0, :]

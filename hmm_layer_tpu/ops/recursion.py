@@ -48,6 +48,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .semiring import EPS, logmatmul, maxargmatvec, maxmatmul
+from . import pallas_viterbi
 
 # The DP recursions are numerically sensitive: on TPU the default matmul
 # precision is bfloat16, whose per-step rounding accumulates linearly in L
@@ -376,8 +377,57 @@ def _viterbi_chunked(init, A, E, parallel_factor):
     # may follow the scan: XLA propagates the consumer layout into the loop
     # and would relayout the carry on every step (measured ~3x on the whole
     # decode).
-    eye = jnp.where(jnp.eye(q, dtype=bool), 0.0, _NEG).astype(E.dtype)
     log_A_T = jnp.swapaxes(log_A, -1, -2)
+
+    use_pallas = pallas_viterbi.supported(q, m) and (
+        pallas_viterbi.FORCE_INTERPRET or jax.default_backend() != "cpu"
+    )
+    if use_pallas:
+        # Pallas TPU kernel: pins the carry layout (operators on sublanes,
+        # chunk elements on lanes) that XLA's layout assignment keeps
+        # pessimizing in the composed pipeline — 0.73 ms vs ~12 ms for the
+        # XLA scan at q=15, b=32, L=9999, P=99 on TPU v5e.
+        BR = pallas_viterbi.BLOCK_R
+        R = b * P
+        R_pad = -(-R // BR) * BR
+        E_T = jnp.swapaxes(Et[:, 0], -1, -2)  # (c, q, bP)
+        if R_pad != R:
+            E_T = jnp.pad(E_T, ((0, 0), (0, 0), (0, R_pad - R)))
+        C_T_flat = pallas_viterbi.maxplus_chunk_summaries(
+            log_A[0], E_T, P, interpret=pallas_viterbi.FORCE_INTERPRET
+        )[:R]  # (R, q, q) transposed operators, b-major chunk-minor
+        C_T = jnp.moveaxis(
+            C_T_flat.reshape(1, b, P, q, q), 2, 0
+        )  # (P, m=1, b, q, q)
+        T = _viterbi_boundaries(log_init, C_T)
+        j_end = _boundary_backtrace(T, C_T)  # (P, m, b) int32
+
+        # Conditional per-chunk start vectors in the kernel's (q, R) layout
+        # (see _viterbi_chunked_combine for why conditioning on the decoded
+        # border state is required for a valid-path guarantee).
+        onehot_prev = jax.nn.one_hot(j_end[:-1], q, dtype=E.dtype)
+        r_later = jnp.einsum("pmbi,miq->pmbq", onehot_prev, log_A)
+        r_first = jnp.broadcast_to(log_init[None, :, None, :], (1, m, b, q))
+        r0 = jnp.moveaxis(
+            jnp.concatenate([r_first, r_later], axis=0), 0, 2
+        ).reshape(m, b * P, q)
+        delta0 = jnp.swapaxes((r0 + Et[0])[0], 0, 1)  # (q, R)
+        last_state = jnp.moveaxis(j_end, 0, 2).reshape(m, b * P)[0]  # (R,)
+        if R_pad != R:
+            delta0 = jnp.pad(
+                delta0, ((0, 0), (0, R_pad - R)), constant_values=_NEG
+            )
+            last_state = jnp.pad(last_state, (0, R_pad - R))
+        states = pallas_viterbi.maxplus_decode(
+            log_A[0],
+            E_T,
+            delta0,
+            last_state,
+            interpret=pallas_viterbi.FORCE_INTERPRET,
+        )[:, :R]  # (c, R)
+        return jnp.swapaxes(states, 0, 1).reshape(m, b, L)
+
+    eye = jnp.where(jnp.eye(q, dtype=bool), 0.0, _NEG).astype(E.dtype)
     is_first = (jnp.arange(P) == 0)[None, None, :, None, None]
     R0_T = jnp.where(is_first, eye, log_A_T[:, None, None])
     R0_T = jnp.broadcast_to(R0_T, (m, b, P, q, q)).reshape(m, b * P, q, q)
@@ -408,22 +458,78 @@ def _viterbi_chunked(init, A, E, parallel_factor):
 
     M_T, _ = lax.scan(sum_step, M0_T, Et_s[1:])
     C_T = jnp.moveaxis(M_T.reshape(m, b, P, q, q), 2, 0)  # (P, m, b, q, q)
+    return _viterbi_chunked_combine(
+        init, log_init, log_A, log_A_T, Et, C_T, m, b, L, q, P, c
+    )
 
-    # -- boundary values via max-plus associative scan ------------------------
+
+def _viterbi_boundaries(log_init, C_T):
+    """Max-plus forward values at every chunk's last position.
+
+    Returns ``T`` of shape (P, m, b, q): ``T[p](j)`` is the best path score
+    over positions up to the end of chunk ``p`` ending in state ``j``.
+    """
     # prefix_T[p] = (C_0 ∘ … ∘ C_p)^T = C_p^T ∘ … ∘ C_0^T.
     prefix_T = lax.associative_scan(lambda x, y: maxmatmul(y, x), C_T, axis=0)
-    T = jnp.max(prefix_T + log_init[None, :, None, None, :], axis=-1)
-    # suffix_T[p] = (C_p ∘ … ∘ C_{P-1})^T — the reverse scan composes the
-    # flipped sequence left-to-right, which in transposed space is the plain
-    # operand order.
-    suffix_T = lax.associative_scan(maxmatmul, C_T, axis=0, reverse=True)
-    S_inner = jnp.max(suffix_T[1:], axis=-2)  # (P-1, m, b, q)
-    S = jnp.concatenate([S_inner, jnp.zeros_like(S_inner[:1])], axis=0)
+    return jnp.max(prefix_T + log_init[None, :, None, None, :], axis=-1)
 
-    # -- output passes: per-position delta (fwd) and psi (bwd) ---------------
-    r_later = jnp.max(
-        T[:-1][..., :, None] + log_A[None, :, None], axis=-2
-    )  # (P-1, m, b, q)
+
+def _boundary_backtrace(T, C_T):
+    """Optimal state at the last position of every chunk.
+
+    A positionwise ``argmax(delta + psi)`` decode is exact only in exact
+    arithmetic: at |score| ~ L in f32, independent per-position rounding
+    splices states from different near-optimal paths, producing invalid
+    transitions (observed at ~0.2% of positions at L=10k). A backtrace
+    always returns one *valid* optimal path, so the decode is a chunk-level
+    backtrace here followed by within-chunk backtraces from stored deltas.
+
+    Args:
+        T: (P, m, b, q) chunk-end forward values.
+        C_T: (P, m, b, q, q) transposed chunk operators.
+
+    Returns:
+        (P, m, b) int32 — the optimal path's state at each chunk's end.
+    """
+    j_last = jnp.argmax(T[-1], axis=-1).astype(jnp.int32)  # (m, b)
+    q = T.shape[-1]
+
+    def backstep(j_next, xs):
+        T_prev, C_T_next = xs
+        # row j_next of C_next, i.e. C_next[i, j_next] over i.
+        onehot = jax.nn.one_hot(j_next, q, dtype=C_T_next.dtype)
+        row = jnp.einsum("mbji,mbj->mbi", C_T_next, onehot)
+        j_prev = jnp.argmax(T_prev + row, axis=-1).astype(jnp.int32)
+        return j_prev, j_prev
+
+    _, j_rest = lax.scan(
+        backstep, j_last, (T[:-1], C_T[1:]), reverse=True
+    )  # (P-1, m, b)
+    return jnp.concatenate([j_rest, j_last[None]], axis=0)
+
+
+def _viterbi_chunked_combine(
+    init, log_init, log_A, log_A_T, Et, C_T, m, b, L, q, P, c
+):
+    """Boundary combine + output passes of the chunked Viterbi decode.
+
+    ``C_T`` holds the per-chunk tropical transfer operators in transposed
+    convention ``C_T[p, ..., j, i] = C[p, ..., i, j]`` (see the layout notes
+    in :func:`_viterbi_chunked`); ``Et`` is (c, m, bP, q) log emissions.
+
+    Decode = chunk-level backtrace (:func:`_boundary_backtrace`) + per-chunk
+    *conditional* delta recursions started from the decoded left-border state
+    + within-chunk backtraces — every splice carries an explicit transition,
+    so the result is always one valid optimal path (see the f32 note in
+    :func:`_boundary_backtrace`). Conditioning also keeps within-chunk delta
+    magnitudes O(c) rather than O(L).
+    """
+    T = _viterbi_boundaries(log_init, C_T)
+    j_end = _boundary_backtrace(T, C_T)  # (P, m, b) int32
+
+    # -- conditional forward pass per chunk -----------------------------------
+    onehot_prev = jax.nn.one_hot(j_end[:-1], q, dtype=Et.dtype)
+    r_later = jnp.einsum("pmbi,miq->pmbq", onehot_prev, log_A)  # A[j_end, :]
     r_first = jnp.broadcast_to(log_init[None, :, None, :], (1, m, b, q))
     r0 = jnp.moveaxis(
         jnp.concatenate([r_first, r_later], axis=0), 0, 2
@@ -437,18 +543,17 @@ def _viterbi_chunked(init, A, E, parallel_factor):
     _, delta_rest = lax.scan(fwd_step, delta0, Et[1:])
     delta = jnp.concatenate([delta0[None], delta_rest], axis=0)  # (c, m, bP, q)
 
-    psi_last = jnp.moveaxis(S, 0, 2).reshape(m, b * P, q)
+    # -- within-chunk backtrace ------------------------------------------------
+    last_state = jnp.moveaxis(j_end, 0, 2).reshape(m, b * P)  # (m, bP)
 
-    # psi_t(i) = max_j A[i, j] + w(j) == max-plus matvec with A^T; the
-    # row-vector form keeps the contraction on sublane slices (no relayout).
-    def bwd_step(psi, e_next):
-        new = maxmatmul((e_next + psi)[..., None, :], log_A_T[:, None])[..., 0, :]
-        return new, new
+    def backstep(state, delta_prev):
+        onehot = jax.nn.one_hot(state, q, dtype=delta_prev.dtype)
+        acol = jnp.einsum("miq,mbq->mbi", log_A, onehot)  # A[:, state]
+        prev = jnp.argmax(delta_prev + acol, axis=-1).astype(jnp.int32)
+        return prev, prev
 
-    _, psi_rest = lax.scan(bwd_step, psi_last, Et[1:], reverse=True)
-    psi = jnp.concatenate([psi_rest, psi_last[None]], axis=0)  # (c, m, bP, q)
-
-    states = jnp.argmax(delta + psi, axis=-1).astype(jnp.int32)  # (c, m, bP)
+    _, rest = lax.scan(backstep, last_state, delta[:-1], reverse=True)
+    states = jnp.concatenate([rest, last_state[None]], axis=0)  # (c, m, bP)
     states = jnp.moveaxis(states, 0, 2).reshape(m, b, P, c)
     return states.reshape(m, b, L)
 

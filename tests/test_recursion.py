@@ -152,6 +152,18 @@ class TestViterbi:
         for i in range(2):
             np.testing.assert_array_equal(paths[0, i], viterbi_np(init, A, E[i]))
 
+    def test_pallas_dispatch_matches_sequential(self, monkeypatch):
+        # Route the chunked decode through the Pallas TPU kernel in
+        # interpreter mode (the CPU test platform never takes this path
+        # otherwise) and check exact parity with the sequential backtrace.
+        from hmm_layer_tpu.ops import pallas_viterbi
+
+        monkeypatch.setattr(pallas_viterbi, "FORCE_INTERPRET", True)
+        init, A, E = random_hmm(RNG, q=15, L=64, b=3, peaked=True)
+        p1 = recursion.viterbi(*_stack(init, A, E), parallel_factor=1)
+        pP = recursion.viterbi(*_stack(init, A, E), parallel_factor=8)
+        np.testing.assert_array_equal(p1, pP)
+
 
 class TestGradients:
     def test_loglik_grad_matches_fd(self):
