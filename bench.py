@@ -56,7 +56,7 @@ def main():
         return run
 
     K1, K2 = 3, 19
-    candidates = [1, 99]
+    candidates = [1, 11, 33]
     best = None
     for pf in candidates:
         run1, run2 = repeated(pf, K1), repeated(pf, K2)

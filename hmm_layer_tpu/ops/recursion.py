@@ -47,8 +47,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from functools import partial
+
 from .semiring import EPS, logmatmul, maxargmatvec, maxmatmul
-from . import pallas_viterbi
+from . import pallas_forward, pallas_viterbi
 
 # The DP recursions are numerically sensitive: on TPU the default matmul
 # precision is bfloat16, whose per-step rounding accumulates linearly in L
@@ -230,6 +232,11 @@ def _chunk_summaries(A, E, parallel_factor, first_chunk_identity=True):
 def _boundary_values(init, C):
     """Exact forward/backward values at chunk boundaries via associative scan.
 
+    Prefix and suffix products run as ONE associative scan: the suffix of
+    ``C`` equals the (flipped, transposed) prefix of the flipped, transposed
+    operators, so both directions batch into a single combine stream —
+    halving the scan's level-launch overhead for tiny q x q operands.
+
     Args:
         init: (m, q) linear initial distribution.
         C: (P, m, b, q, q) chunk operators from :func:`_chunk_summaries`.
@@ -240,23 +247,21 @@ def _boundary_values(init, C):
            (S[P-1] = 0).
         loglik: (m, b).
     """
-    P = C.shape[0]
+    P, m, b = C.shape[:3]
     log_init = jnp.log(_clamped(init))  # (m, q)
 
-    # Prefix products: Pi[p] = C_0 ∘ ... ∘ C_p  (inclusive).
-    prefix = lax.associative_scan(logmatmul, C, axis=0)
+    D = jnp.flip(C, axis=0).swapaxes(-1, -2)
+    Y = lax.associative_scan(
+        logmatmul, jnp.concatenate([C, D], axis=2), axis=0
+    )
+    # Pi[p] = C_0 ∘ ... ∘ C_p; suffix^T[p] = C_p ∘ ... ∘ C_{P-1} transposed.
+    prefix = Y[:, :, :b]
+    suffix_T = jnp.flip(Y[:, :, b:], axis=0)
+
     T = jax.nn.logsumexp(
         log_init[None, :, None, :, None] + prefix, axis=-2
     )  # (P, m, b, q)
-
-    # Suffix products: Sig[p] = C_p ∘ ... ∘ C_{P-1} (inclusive, reversed).
-    # Note: reverse=True applies the combine in flipped order
-    # (x[n-1] ∘ ... ∘ x[i]), so swap the operands to preserve left-to-right
-    # matrix-product order.
-    suffix = lax.associative_scan(
-        lambda a, b: logmatmul(b, a), C, axis=0, reverse=True
-    )
-    S_inner = jax.nn.logsumexp(suffix[1:], axis=-1)  # (P-1, m, b, q)
+    S_inner = jax.nn.logsumexp(suffix_T[1:], axis=-2)  # (P-1, m, b, q)
     S = jnp.concatenate(
         [S_inner, jnp.zeros_like(S_inner[:1])], axis=0
     )  # (P, m, b, q)
@@ -339,6 +344,172 @@ def _backward_outputs(A, E, S, parallel_factor):
     log_beta = jnp.concatenate([outs, last], axis=0)  # (c, m, bP, q)
     log_beta = jnp.moveaxis(log_beta, 0, 2).reshape(m, b, P, c, q)
     return log_beta.reshape(m, b, L, q)
+
+
+# ---------------------------------------------------------------------------
+# Pallas fast path for the sum-product chunked pipeline (inference-speed
+# posterior/log-likelihood; gradients route through the XLA implementation
+# via jax.custom_vjp — see _posterior_chunked_fast below).
+# ---------------------------------------------------------------------------
+
+
+def _use_pallas(q: int, m: int) -> bool:
+    return pallas_forward.supported(q, m) and (
+        pallas_viterbi.FORCE_INTERPRET or jax.default_backend() != "cpu"
+    )
+
+
+def _pallas_chunk_inputs(E, P):
+    """Emissions in the kernels' (c, q, R_pad) lane layout."""
+    m, b, L, q = E.shape
+    Ec, c = _split_chunks(E, P)
+    Et = jnp.moveaxis(Ec, 2, 0)  # (c, m, bP, q)
+    R = b * P
+    R_pad = -(-R // pallas_forward.BLOCK_R) * pallas_forward.BLOCK_R
+    E_T = jnp.swapaxes(_clamped(Et[:, 0]), -1, -2)  # (c, q, R)
+    if R_pad != R:
+        E_T = jnp.pad(
+            E_T, ((0, 0), (0, 0), (0, R_pad - R)), constant_values=1.0
+        )
+    return E_T, c, R, R_pad
+
+
+def _chunk_summaries_pallas(A, E_T, P, m, b, R):
+    q = A.shape[-1]
+    C_flat = pallas_forward.sum_chunk_summaries(
+        A[0], E_T, P, interpret=pallas_viterbi.FORCE_INTERPRET
+    )[:R]  # (R, q, q), b-major chunk-minor
+    return jnp.moveaxis(C_flat.reshape(m, b, P, q, q), 2, 0)
+
+
+def _pad_lanes(x, R_pad, value=0.0):
+    R = x.shape[-1]
+    if R_pad == R:
+        return x
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, R_pad - R)]
+    return jnp.pad(x, pad, constant_values=value)
+
+
+def _posterior_chunked_pallas(init, A, E, P, no_loglik):
+    m, b, L, q = E.shape
+    E_T, c, R, R_pad = _pallas_chunk_inputs(E, P)
+    C = _chunk_summaries_pallas(A, E_T, P, m, b, R)
+    T, S, ll = _boundary_values(init, C)
+
+    # Forward boundary starts (same construction as _forward_outputs).
+    r_later = logmatmul(
+        T[:-1][..., None, :], jnp.log(_clamped(A))[None, :, None]
+    )[..., 0, :]
+    r_first = jnp.broadcast_to(
+        jnp.log(_clamped(init))[None, :, None, :], (1, m, b, q)
+    )
+    R0_log = jnp.moveaxis(
+        jnp.concatenate([r_first, r_later], axis=0), 0, 2
+    ).reshape(m, b * P, q)
+    ll0 = jax.nn.logsumexp(R0_log, axis=-1)  # (m, R)
+    r0 = jnp.exp(R0_log - ll0[..., None])
+    log_alpha = pallas_forward.sum_fwd_outputs(
+        A[0],
+        E_T,
+        _pad_lanes(jnp.swapaxes(r0[0], 0, 1), R_pad, 1.0),
+        _pad_lanes(ll0[0], R_pad),
+        interpret=pallas_viterbi.FORCE_INTERPRET,
+    )  # (c, PAD, R_pad)
+
+    # Backward boundary starts (same construction as _backward_outputs).
+    S_flat = jnp.moveaxis(S, 0, 2).reshape(m, b * P, q)
+    ll0b = jnp.max(S_flat, axis=-1)
+    beta0 = jnp.exp(S_flat - ll0b[..., None])
+    ll_lane = (
+        jnp.zeros((R,), E.dtype)
+        if no_loglik
+        else jnp.broadcast_to(ll[0][:, None], (b, P)).reshape(R)
+    )
+    log_gamma = pallas_forward.gamma_bwd_outputs(
+        A[0],
+        E_T,
+        _pad_lanes(jnp.swapaxes(beta0[0], 0, 1), R_pad, 1.0),
+        _pad_lanes(ll0b[0], R_pad),
+        _pad_lanes(ll_lane, R_pad),
+        log_alpha,
+        interpret=pallas_viterbi.FORCE_INTERPRET,
+    )[:, :q, :R]  # (c, q, R)
+
+    lg = jnp.moveaxis(log_gamma, (0, 1, 2), (1, 2, 0))  # (R, c, q)
+    return lg.reshape(m, b, L, q), ll
+
+
+def _posterior_chunked_xla(init, A, E, P, no_loglik):
+    C, _ = _chunk_summaries(A, E, P)
+    T, S, ll = _boundary_values(init, C)
+    la = _forward_outputs(init, A, E, T, P)
+    lb = _backward_outputs(A, E, S, P)
+    log_gamma = la + lb
+    if not no_loglik:
+        log_gamma = log_gamma - ll[..., None, None]
+    return log_gamma, ll
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _posterior_chunked_fast(init, A, E, P, no_loglik):
+    """Pallas-accelerated chunked posterior with XLA-defined gradients.
+
+    The primal runs the Pallas pipeline; the VJP recomputes through the
+    differentiable XLA implementation (numerically equivalent scaled
+    recursions), so training through the posterior keeps exact autodiff
+    semantics while inference gets kernel speed.
+    """
+    return _posterior_chunked_pallas(init, A, E, P, no_loglik)
+
+
+def _posterior_fast_fwd(init, A, E, P, no_loglik):
+    return _posterior_chunked_pallas(init, A, E, P, no_loglik), (init, A, E)
+
+
+def _posterior_fast_bwd(P, no_loglik, res, ct):
+    init, A, E = res
+    _, vjp = jax.vjp(
+        lambda i, a, e: _posterior_chunked_xla(i, a, e, P, no_loglik),
+        init,
+        A,
+        E,
+    )
+    return vjp(ct)
+
+
+_posterior_chunked_fast.defvjp(_posterior_fast_fwd, _posterior_fast_bwd)
+
+
+def _loglik_chunked_pallas(init, A, E, P):
+    m, b, L, q = E.shape
+    E_T, c, R, R_pad = _pallas_chunk_inputs(E, P)
+    C = _chunk_summaries_pallas(A, E_T, P, m, b, R)
+    # Only the prefix reduction survives DCE inside _boundary_values.
+    _, _, ll = _boundary_values(init, C)
+    return ll
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _loglik_chunked_fast(init, A, E, P):
+    return _loglik_chunked_pallas(init, A, E, P)
+
+
+def _loglik_fast_fwd(init, A, E, P):
+    return _loglik_chunked_pallas(init, A, E, P), (init, A, E)
+
+
+def _loglik_fast_bwd(P, res, ct):
+    init, A, E = res
+
+    def xla_ll(i, a, e):
+        C, _ = _chunk_summaries(a, e, P)
+        return _boundary_values(i, C)[2]
+
+    _, vjp = jax.vjp(xla_ll, init, A, E)
+    return vjp(ct)
+
+
+_loglik_chunked_fast.defvjp(_loglik_fast_fwd, _loglik_fast_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -615,6 +786,9 @@ def log_likelihood(init, A, E, parallel_factor: int = 1) -> jax.Array:
 
         (alpha, ll), _ = lax.scan(step, carry0, Et[1:])
         return ll
+    m, _, _, q = E.shape
+    if _use_pallas(q, m):
+        return _loglik_chunked_fast(init, A, E, parallel_factor)
     C, _ = _chunk_summaries(A, E, parallel_factor)
     _, _, ll = _boundary_values(init, C)
     return ll
@@ -638,15 +812,14 @@ def posterior(
     if parallel_factor == 1:
         la, ll = _forward_seq(init, A, E)
         lb = _backward_seq(A, E)
-    else:
-        C, _ = _chunk_summaries(A, E, parallel_factor)
-        T, S, ll = _boundary_values(init, C)
-        la = _forward_outputs(init, A, E, T, parallel_factor)
-        lb = _backward_outputs(A, E, S, parallel_factor)
-    log_gamma = la + lb
-    if not no_loglik:
-        log_gamma = log_gamma - ll[..., None, None]
-    return log_gamma, ll
+        log_gamma = la + lb
+        if not no_loglik:
+            log_gamma = log_gamma - ll[..., None, None]
+        return log_gamma, ll
+    m, _, _, q = E.shape
+    if _use_pallas(q, m):
+        return _posterior_chunked_fast(init, A, E, parallel_factor, no_loglik)
+    return _posterior_chunked_xla(init, A, E, parallel_factor, no_loglik)
 
 
 def viterbi(init, A, E, parallel_factor: int = 1) -> jax.Array:

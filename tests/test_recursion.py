@@ -152,6 +152,35 @@ class TestViterbi:
         for i in range(2):
             np.testing.assert_array_equal(paths[0, i], viterbi_np(init, A, E[i]))
 
+    def test_pallas_sum_product_dispatch(self, monkeypatch):
+        # Posterior + loglik through the Pallas sum-product kernels
+        # (interpreter mode) vs the sequential recursion, including
+        # gradient flow through the custom_vjp (routes to the XLA path).
+        from hmm_layer_tpu.ops import pallas_viterbi
+
+        monkeypatch.setattr(pallas_viterbi, "FORCE_INTERPRET", True)
+        init, A, E = random_hmm(RNG, q=15, L=64, b=3)
+        ini, Aj, Ej = _stack(init, A, E)
+
+        lg1, ll1 = recursion.posterior(ini, Aj, Ej, parallel_factor=1)
+        lgP, llP = recursion.posterior(ini, Aj, Ej, parallel_factor=8)
+        np.testing.assert_allclose(np.asarray(llP), np.asarray(ll1), rtol=2e-4)
+        np.testing.assert_allclose(
+            np.asarray(lgP), np.asarray(lg1), rtol=1e-3, atol=2e-3
+        )
+        llo = recursion.log_likelihood(ini, Aj, Ej, parallel_factor=8)
+        np.testing.assert_allclose(np.asarray(llo), np.asarray(ll1), rtol=2e-4)
+
+        def loss(e, pf):
+            lg, ll = recursion.posterior(ini, Aj, e, parallel_factor=pf)
+            return jnp.sum(lg * lg) + jnp.sum(ll)
+
+        g1 = jax.grad(lambda e: loss(e, 1))(Ej)
+        gP = jax.grad(lambda e: loss(e, 8))(Ej)
+        np.testing.assert_allclose(
+            np.asarray(gP), np.asarray(g1), rtol=2e-3, atol=2e-3
+        )
+
     def test_pallas_dispatch_matches_sequential(self, monkeypatch):
         # Route the chunked decode through the Pallas TPU kernel in
         # interpreter mode (the CPU test platform never takes this path
