@@ -15,12 +15,12 @@ log-scale accumulator per lane, log-space outputs. The kernels are forward
 backward pass through its differentiable XLA implementation via
 ``jax.custom_vjp``.
 
-Layouts (R = b * P chunk elements, padded to BLOCK_R):
+Layouts (R = b * P chunk elements, padded to br):
 
 * summary carry ``M[(j, i), r]``: sublanes = 16x16-padded operator entry
   (j = current state, i = left-border state), lanes = chunk elements.
-* output carries ``alpha[p, r]`` / ``beta[p, r]``: (PAD, BLOCK_R) tiles
-  plus a (1, BLOCK_R) log-scale row.
+* output carries ``alpha[p, r]`` / ``beta[p, r]``: (PAD, br) tiles
+  plus a (1, br) log-scale row.
 """
 
 from __future__ import annotations
@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_viterbi import BLOCK_R, PAD, supported  # shared tiling
+from .pallas_viterbi import PAD, choose_block_r, supported  # shared tiling
 
 __all__ = [
     "sum_chunk_summaries",
@@ -47,32 +47,32 @@ _TINY = np.float32(1e-30)  # rescale floor (avoids 0/0 in dead rows)
 
 
 def _sum_summary_kernel(
-    c: int, P: int, q: int, A_ref, Av_ref, e_ref, out_ref, M, LL
+    c: int, P: int, q: int, br: int, A_ref, Av_ref, e_ref, out_ref, M, LL
 ):
     """Scaled linear-space chunk-operator scan.
 
     M[(j, i), r]: running scaled P(emissions so far, state j | border i).
     LL[i, r]: accumulated log-scale per (border state, chunk element).
-    Grid = (R // BLOCK_R, c); out written at t == c-1 as log(M) + LL.
+    Grid = (R // br, c); out written at t == c-1 as log(M) + LL.
     """
     t = pl.program_id(1)
     jblk = pl.program_id(0)
 
     @pl.when(t == 0)
     def _init():
-        lane = jax.lax.broadcasted_iota(jnp.int32, (PAD, BLOCK_R), 1)
-        is_first = ((jblk * BLOCK_R + lane) % P) == 0
+        lane = jax.lax.broadcasted_iota(jnp.int32, (PAD, br), 1)
+        is_first = ((jblk * br + lane) % P) == 0
         sub = jax.lax.broadcasted_iota(jnp.int32, (PAD, 1), 0)
-        z = jnp.zeros((PAD, BLOCK_R), jnp.float32)
+        z = jnp.zeros((PAD, br), jnp.float32)
         for j in range(q):
-            e_j = e_ref[0, j, :][None, :]  # (1, BLOCK_R)
+            e_j = e_ref[0, j, :][None, :]  # (1, br)
             a_col = Av_ref[:, j][:, None]  # A[i, j] on sublanes i
             eye_col = jnp.where(sub == j, 1.0, 0.0)
             rows = jnp.where(is_first, eye_col, a_col) * e_j
             M[j * PAD : (j + 1) * PAD, :] = rows
             z = z + rows
         for j in range(q, PAD):
-            M[j * PAD : (j + 1) * PAD, :] = jnp.zeros((PAD, BLOCK_R))
+            M[j * PAD : (j + 1) * PAD, :] = jnp.zeros((PAD, br))
         z = jnp.maximum(z, _TINY)
         for j in range(q):
             M[j * PAD : (j + 1) * PAD, :] = M[j * PAD : (j + 1) * PAD, :] / z
@@ -81,7 +81,7 @@ def _sum_summary_kernel(
     @pl.when(t > 0)
     def _step():
         # out_ref doubles as scratch for the unnormalized update.
-        z = jnp.zeros((PAD, BLOCK_R), jnp.float32)
+        z = jnp.zeros((PAD, br), jnp.float32)
         for p in range(q):
             acc = M[0:PAD, :] * A_ref[0, p]
             for k in range(1, q):
@@ -105,7 +105,7 @@ def _sum_summary_kernel(
             )
         for j in range(q, PAD):
             out_ref[j * PAD : (j + 1) * PAD, :] = jnp.full(
-                (PAD, BLOCK_R), -1e30
+                (PAD, br), -1e30
             )
 
 
@@ -126,10 +126,11 @@ def sum_chunk_summaries(A, E_T, P: int, interpret: bool = False):
         right-border state j | left-border state i)``.
     """
     c, q, R = E_T.shape
+    br = choose_block_r(R)
     if q > PAD:
         raise ValueError(f"pallas forward kernel supports q <= {PAD}, got {q}")
-    if R % BLOCK_R:
-        raise ValueError(f"R={R} must be padded to a multiple of {BLOCK_R}")
+    if R % br:
+        raise ValueError(f"R={R} must be padded to a multiple of {br}")
 
     A_pad = jnp.zeros((PAD, PAD), jnp.float32)
     A_pad = A_pad.at[:q, :q].set(A.astype(jnp.float32))
@@ -137,26 +138,26 @@ def sum_chunk_summaries(A, E_T, P: int, interpret: bool = False):
     if q < PAD:
         E_pad = jnp.pad(E_T, ((0, 0), (0, PAD - q), (0, 0)))
 
-    grid = (R // BLOCK_R, c)
+    grid = (R // br, c)
     out = pl.pallas_call(
-        partial(_sum_summary_kernel, c, P, q),
+        partial(_sum_summary_kernel, c, P, q, br),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # A scalars
             pl.BlockSpec(memory_space=pltpu.VMEM),  # A column vectors
             pl.BlockSpec(
-                (1, PAD, BLOCK_R),
+                (1, PAD, br),
                 lambda j, t: (t, 0, j),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (PAD * PAD, BLOCK_R), lambda j, t: (0, j), memory_space=pltpu.VMEM
+            (PAD * PAD, br), lambda j, t: (0, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((PAD * PAD, R), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((PAD * PAD, BLOCK_R), jnp.float32),
-            pltpu.VMEM((PAD, BLOCK_R), jnp.float32),
+            pltpu.VMEM((PAD * PAD, br), jnp.float32),
+            pltpu.VMEM((PAD, br), jnp.float32),
         ],
         interpret=interpret,
     )(A_pad, A_pad, E_pad)
@@ -166,7 +167,7 @@ def sum_chunk_summaries(A, E_T, P: int, interpret: bool = False):
     return jnp.moveaxis(C_ji, -1, 0).swapaxes(-1, -2)
 
 
-def _sum_fwd_kernel(c: int, q: int, A_ref, r0_ref, l0_ref, e_ref, out_ref, AL, LL):
+def _sum_fwd_kernel(c: int, q: int, br: int, A_ref, r0_ref, l0_ref, e_ref, out_ref, AL, LL):
     """Scaled forward output pass: emits log alpha at every position.
 
     AL[p, r] scaled alpha; LL[1, r] log-scale. r0/l0 are the per-chunk
@@ -190,7 +191,7 @@ def _sum_fwd_kernel(c: int, q: int, A_ref, r0_ref, l0_ref, e_ref, out_ref, AL, L
                 acc = acc + AL[k : k + 1, :] * A_ref[k, p]
             acc_rows.append(jnp.maximum(acc, _EPS))
         for p in range(q, PAD):
-            acc_rows.append(jnp.zeros((1, BLOCK_R)))
+            acc_rows.append(jnp.zeros((1, br)))
         s = jnp.concatenate(acc_rows, axis=0) * e_ref[0]
         z = jnp.maximum(jnp.sum(s, axis=0, keepdims=True), _TINY)
         AL[:, :] = s / z
@@ -200,7 +201,7 @@ def _sum_fwd_kernel(c: int, q: int, A_ref, r0_ref, l0_ref, e_ref, out_ref, AL, L
 
 
 def _gamma_bwd_kernel(
-    c: int, q: int, A_ref, b0_ref, l0_ref, lt_ref, e_ref, la_ref, out_ref, BE, LL
+    c: int, q: int, br: int, A_ref, b0_ref, l0_ref, lt_ref, e_ref, la_ref, out_ref, BE, LL
 ):
     """Scaled backward pass fused with the posterior combine.
 
@@ -218,7 +219,7 @@ def _gamma_bwd_kernel(
 
     @pl.when(g > 0)
     def _step():
-        r = BE[:, :] * e_ref[0]  # (PAD, BLOCK_R): beta_{t+1} * e_{t+1}
+        r = BE[:, :] * e_ref[0]  # (PAD, br): beta_{t+1} * e_{t+1}
         rows = []
         for p in range(q):
             acc = r[0:1, :] * A_ref[p, 0]
@@ -226,7 +227,7 @@ def _gamma_bwd_kernel(
                 acc = acc + r[k : k + 1, :] * A_ref[p, k]
             rows.append(jnp.maximum(acc, _EPS))
         for p in range(q, PAD):
-            rows.append(jnp.zeros((1, BLOCK_R)))
+            rows.append(jnp.zeros((1, br)))
         s = jnp.concatenate(rows, axis=0)
         z = jnp.maximum(jnp.max(s, axis=0, keepdims=True), _TINY)
         BE[:, :] = s / z
@@ -254,6 +255,7 @@ def sum_fwd_outputs(A, E_T, r0, ll0, interpret: bool = False):
         log_alpha: (c, PAD, R) — rows >= q are garbage (sliced by caller).
     """
     c, q, R = E_T.shape
+    br = choose_block_r(R)
     A_pad = jnp.zeros((PAD, PAD), jnp.float32)
     A_pad = A_pad.at[:q, :q].set(A.astype(jnp.float32))
     E_pad = E_T
@@ -262,31 +264,31 @@ def sum_fwd_outputs(A, E_T, r0, ll0, interpret: bool = False):
     r0_pad = jnp.pad(r0, ((0, PAD - q), (0, 0)))
     l0 = ll0[None].astype(jnp.float32)
 
-    grid = (R // BLOCK_R, c)
+    grid = (R // br, c)
     return pl.pallas_call(
-        partial(_sum_fwd_kernel, c, q),
+        partial(_sum_fwd_kernel, c, q, br),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # A scalars
             pl.BlockSpec(
-                (PAD, BLOCK_R), lambda j, t: (0, j), memory_space=pltpu.VMEM
+                (PAD, br), lambda j, t: (0, j), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, BLOCK_R), lambda j, t: (0, j), memory_space=pltpu.VMEM
+                (1, br), lambda j, t: (0, j), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, PAD, BLOCK_R),
+                (1, PAD, br),
                 lambda j, t: (t, 0, j),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, PAD, BLOCK_R), lambda j, t: (t, 0, j), memory_space=pltpu.VMEM
+            (1, PAD, br), lambda j, t: (t, 0, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((c, PAD, R), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((PAD, BLOCK_R), jnp.float32),
-            pltpu.VMEM((1, BLOCK_R), jnp.float32),
+            pltpu.VMEM((PAD, br), jnp.float32),
+            pltpu.VMEM((1, br), jnp.float32),
         ],
         interpret=interpret,
     )(A_pad, r0_pad, l0, E_pad)
@@ -309,6 +311,7 @@ def gamma_bwd_outputs(A, E_T, beta0, ll0, ll_tot, log_alpha, interpret=False):
         log_gamma: (c, PAD, R) — rows >= q are garbage (sliced by caller).
     """
     c, q, R = E_T.shape
+    br = choose_block_r(R)
     A_pad = jnp.zeros((PAD, PAD), jnp.float32)
     A_pad = A_pad.at[:q, :q].set(A.astype(jnp.float32))
     E_pad = E_T
@@ -318,42 +321,42 @@ def gamma_bwd_outputs(A, E_T, beta0, ll0, ll_tot, log_alpha, interpret=False):
     l0 = ll0[None].astype(jnp.float32)
     lt = ll_tot[None].astype(jnp.float32)
 
-    grid = (R // BLOCK_R, c)
+    grid = (R // br, c)
     return pl.pallas_call(
-        partial(_gamma_bwd_kernel, c, q),
+        partial(_gamma_bwd_kernel, c, q, br),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # A scalars (A[p, k])
             pl.BlockSpec(
-                (PAD, BLOCK_R), lambda j, g: (0, j), memory_space=pltpu.VMEM
+                (PAD, br), lambda j, g: (0, j), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, BLOCK_R), lambda j, g: (0, j), memory_space=pltpu.VMEM
+                (1, br), lambda j, g: (0, j), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, BLOCK_R), lambda j, g: (0, j), memory_space=pltpu.VMEM
+                (1, br), lambda j, g: (0, j), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, PAD, BLOCK_R),
+                (1, PAD, br),
                 # e_{t+1} with t = c-1-g; block 0 is unused at g == 0.
                 lambda j, g: ((c - g) % c, 0, j),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, PAD, BLOCK_R),
+                (1, PAD, br),
                 lambda j, g: (c - 1 - g, 0, j),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, PAD, BLOCK_R),
+            (1, PAD, br),
             lambda j, g: (c - 1 - g, 0, j),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((c, PAD, R), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((PAD, BLOCK_R), jnp.float32),
-            pltpu.VMEM((1, BLOCK_R), jnp.float32),
+            pltpu.VMEM((PAD, br), jnp.float32),
+            pltpu.VMEM((1, br), jnp.float32),
         ],
         interpret=interpret,
     )(A_pad, b0_pad, l0, lt, E_pad, log_alpha)

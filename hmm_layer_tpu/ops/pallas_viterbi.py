@@ -14,7 +14,7 @@ VPU roofline). This kernel pins the layout explicitly:
 
 * carry scratch ``M[(k, i), r]``: sublanes = the 16x16-padded operator entry
   (k = current state, contracted each step; i = left-border state), lanes =
-  chunk elements ``r``. One (256, BLOCK_R) f32 tile block holds BLOCK_R
+  chunk elements ``r``. One (256, br) f32 tile block holds br
   operators.
 * per step, for each output state p: ``acc = max_k (M[k*16:(k+1)*16, :] +
   A[k, p])`` — sublane-contiguous slices plus SMEM scalars, written back to
@@ -42,10 +42,30 @@ __all__ = ["maxplus_chunk_summaries", "supported"]
 
 _NEG = np.float32(-1e30)
 PAD = 16  # padded state count (sublane quantum); kernel supports q <= 16
-BLOCK_R = 512  # chunk elements per grid block (lanes)
+MAX_SINGLE_BLOCK_R = 4096  # one right-sized lane block when it fits in VMEM
 # Test hook: route the chunked-Viterbi dispatch through the kernel in
 # interpreter mode even on CPU (see ops.recursion._viterbi_chunked).
 FORCE_INTERPRET = False
+
+
+def choose_block_r(R: int) -> int:
+    """Lane-block size for the chunk-element axis.
+
+    One right-sized block (lanes a multiple of 128) avoids both tile padding
+    waste (R=352 at parallel_factor=11 would waste 31% of every 512-lane
+    tile) and multi-block grid overhead; above the VMEM budget, fall back to
+    512-lane tiling. Callers pad R with this same function so the wrapper's
+    recomputation agrees (R already a block multiple resolves to itself or
+    512).
+    """
+    rounded = -(-R // 128) * 128
+    return rounded if rounded <= MAX_SINGLE_BLOCK_R else 512
+
+
+def pad_chunk_elements(R: int) -> int:
+    """Padded chunk-element count: the smallest block multiple >= R."""
+    br = choose_block_r(R)
+    return -(-R // br) * br
 
 
 def supported(q: int, num_models: int) -> bool:
@@ -53,16 +73,16 @@ def supported(q: int, num_models: int) -> bool:
     return q <= PAD and num_models == 1
 
 
-def _kernel(c: int, P: int, q: int, A_ref, Av_ref, e_ref, out_ref, M):
-    """Grid = (R // BLOCK_R, c); one grid step = one timestep of one block.
+def _kernel(c: int, P: int, q: int, br: int, A_ref, Av_ref, e_ref, out_ref, M):
+    """Grid = (R // br, c); one grid step = one timestep of one block.
 
     A_ref: (PAD, PAD) SMEM — log transition matrix (padded rows/cols _NEG),
         read as per-step scalar broadcasts.
     Av_ref: (PAD, PAD) VMEM — same matrix, read as column vectors at t==0
         (SMEM only allows scalar loads).
-    e_ref: (1, PAD, BLOCK_R) VMEM — log emissions of this step, transposed.
-    out_ref: (PAD * PAD, BLOCK_R) VMEM — final operators, written at t==c-1.
-    M: (PAD * PAD, BLOCK_R) f32 VMEM scratch — the running operators.
+    e_ref: (1, PAD, br) VMEM — log emissions of this step, transposed.
+    out_ref: (PAD * PAD, br) VMEM — final operators, written at t==c-1.
+    M: (PAD * PAD, br) f32 VMEM scratch — the running operators.
     """
     t = pl.program_id(1)
     jblk = pl.program_id(0)
@@ -71,11 +91,11 @@ def _kernel(c: int, P: int, q: int, A_ref, Av_ref, e_ref, out_ref, M):
     def _init():
         # M0[(j, i), r] = R0[i, j] + e0[j]; R0 = identity for the first chunk
         # of every sequence (lane r with r % P == 0), A-rows otherwise.
-        lane = jax.lax.broadcasted_iota(jnp.int32, (PAD, BLOCK_R), 1)
-        is_first = ((jblk * BLOCK_R + lane) % P) == 0
+        lane = jax.lax.broadcasted_iota(jnp.int32, (PAD, br), 1)
+        is_first = ((jblk * br + lane) % P) == 0
         sub = jax.lax.broadcasted_iota(jnp.int32, (PAD, 1), 0)
         for j in range(PAD):
-            e_j = e_ref[0, j, :][None, :]  # (1, BLOCK_R)
+            e_j = e_ref[0, j, :][None, :]  # (1, br)
             a_col = Av_ref[:, j][:, None]  # A[i, j] on sublanes i: (PAD, 1)
             eye_col = jnp.where(sub == j, 0.0, _NEG)
             rows = jnp.where(is_first, eye_col, a_col) + e_j
@@ -87,11 +107,11 @@ def _kernel(c: int, P: int, q: int, A_ref, Av_ref, e_ref, out_ref, M):
             acc = M[0:PAD, :] + A_ref[0, p]
             for k in range(1, q):
                 acc = jnp.maximum(acc, M[k * PAD : (k + 1) * PAD, :] + A_ref[k, p])
-            e_p = e_ref[0, p, :][None, :]  # (1, BLOCK_R) -> bcast sublanes
+            e_p = e_ref[0, p, :][None, :]  # (1, br) -> bcast sublanes
             out_ref[p * PAD : (p + 1) * PAD, :] = acc + e_p
         for p in range(q, PAD):
             out_ref[p * PAD : (p + 1) * PAD, :] = jnp.full(
-                (PAD, BLOCK_R), _NEG
+                (PAD, br), _NEG
             )
         M[:, :] = out_ref[:, :]
 
@@ -119,10 +139,11 @@ def maxplus_chunk_summaries(log_A, log_E_T, P: int, interpret: bool = False):
         (j, i) order.
     """
     c, q, R = log_E_T.shape
+    br = choose_block_r(R)
     if q > PAD:
         raise ValueError(f"pallas viterbi kernel supports q <= {PAD}, got {q}")
-    if R % BLOCK_R:
-        raise ValueError(f"R={R} must be padded to a multiple of {BLOCK_R}")
+    if R % br:
+        raise ValueError(f"R={R} must be padded to a multiple of {br}")
 
     A_pad = jnp.full((PAD, PAD), _NEG, jnp.float32)
     A_pad = A_pad.at[:q, :q].set(log_A.astype(jnp.float32))
@@ -132,24 +153,24 @@ def maxplus_chunk_summaries(log_A, log_E_T, P: int, interpret: bool = False):
             log_E_T, ((0, 0), (0, PAD - q), (0, 0)), constant_values=_NEG
         )
 
-    grid = (R // BLOCK_R, c)
+    grid = (R // br, c)
     out = pl.pallas_call(
-        partial(_kernel, c, P, q),
+        partial(_kernel, c, P, q, br),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # A (PAD, PAD) scalars
             pl.BlockSpec(memory_space=pltpu.VMEM),  # A (PAD, PAD) vectors
             pl.BlockSpec(
-                (1, PAD, BLOCK_R),
+                (1, PAD, br),
                 lambda j, t: (t, 0, j),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (PAD * PAD, BLOCK_R), lambda j, t: (0, j), memory_space=pltpu.VMEM
+            (PAD * PAD, br), lambda j, t: (0, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((PAD * PAD, R), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((PAD * PAD, BLOCK_R), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((PAD * PAD, br), jnp.float32)],
         interpret=interpret,
     )(A_pad, A_pad, E_pad)
 
@@ -163,11 +184,11 @@ def maxplus_chunk_summaries(log_A, log_E_T, P: int, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(c: int, q: int, A_ref, d0_ref, e_ref, out_ref, D):
+def _fwd_kernel(c: int, q: int, br: int, A_ref, d0_ref, e_ref, out_ref, D):
     """delta_t[p, r] = max_k delta_{t-1}[k, r] + A[k, p] + e_t[p, r].
 
-    Carry ``D``: (PAD, BLOCK_R) — states on sublanes, chunk elements on
-    lanes. Grid = (R // BLOCK_R, c), one step per (block, timestep).
+    Carry ``D``: (PAD, br) — states on sublanes, chunk elements on
+    lanes. Grid = (R // br, c), one step per (block, timestep).
     """
     t = pl.program_id(1)
 
@@ -184,17 +205,17 @@ def _fwd_kernel(c: int, q: int, A_ref, d0_ref, e_ref, out_ref, D):
                 acc = jnp.maximum(acc, D[k : k + 1, :] + A_ref[k, p])
             out_ref[0, p : p + 1, :] = acc + e_ref[0, p : p + 1, :]
         for p in range(q, PAD):
-            out_ref[0, p : p + 1, :] = jnp.full((1, BLOCK_R), _NEG)
+            out_ref[0, p : p + 1, :] = jnp.full((1, br), _NEG)
         D[:, :] = out_ref[0]
 
 
-def _backtrace_kernel(c: int, q: int, Av_ref, j_ref, d_ref, out_ref, S):
+def _backtrace_kernel(c: int, q: int, br: int, Av_ref, j_ref, d_ref, out_ref, S):
     """Within-chunk Viterbi backtrace from stored deltas.
 
     ``state_{t} = argmax_k delta_t[k, r] + A[k, state_{t+1}]`` walking the
     grid's second axis in reverse time via the index maps (block ``c-1-g``);
     no backpointers are stored — the decision is re-derived from the delta
-    pass. Carry ``S``: (1, BLOCK_R) int32 — the current state per lane.
+    pass. Carry ``S``: (1, br) int32 — the current state per lane.
     """
     g = pl.program_id(1)
 
@@ -204,14 +225,14 @@ def _backtrace_kernel(c: int, q: int, Av_ref, j_ref, d_ref, out_ref, S):
 
     @pl.when(g > 0)
     def _step():
-        st = S[:, :]  # (1, BLOCK_R) — state_{t+1}
+        st = S[:, :]  # (1, br) — state_{t+1}
         # acc[k, r] = A[k, st[r]] via a select tree over the q columns.
-        acc = jnp.full((PAD, BLOCK_R), _NEG)
+        acc = jnp.full((PAD, br), _NEG)
         for p in range(q):
             acc = jnp.where(st == p, Av_ref[:, p][:, None], acc)
         w = d_ref[0] + acc
         vmax = jnp.max(w, axis=0, keepdims=True)
-        idx = jax.lax.broadcasted_iota(jnp.int32, (PAD, BLOCK_R), 0)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (PAD, br), 0)
         # First index attaining the max (matches jnp.argmax tie-breaking).
         S[:, :] = jnp.min(jnp.where(w >= vmax, idx, PAD), axis=0, keepdims=True)
 
@@ -236,10 +257,11 @@ def maxplus_decode(log_A, log_E_T, delta0, last_state, interpret: bool = False):
         one valid optimal path (backtrace, not positionwise argmax).
     """
     c, q, R = log_E_T.shape
+    br = choose_block_r(R)
     if q > PAD:
         raise ValueError(f"pallas viterbi kernel supports q <= {PAD}, got {q}")
-    if R % BLOCK_R:
-        raise ValueError(f"R={R} must be padded to a multiple of {BLOCK_R}")
+    if R % br:
+        raise ValueError(f"R={R} must be padded to a multiple of {br}")
 
     A_pad = jnp.full((PAD, PAD), _NEG, jnp.float32)
     A_pad = A_pad.at[:q, :q].set(log_A.astype(jnp.float32))
@@ -250,50 +272,50 @@ def maxplus_decode(log_A, log_E_T, delta0, last_state, interpret: bool = False):
     d0 = jnp.pad(delta0[None], pad_rows, constant_values=_NEG)[0]
     j_last = last_state[None].astype(jnp.int32)  # (1, R)
 
-    grid = (R // BLOCK_R, c)
+    grid = (R // br, c)
     delta = pl.pallas_call(
-        partial(_fwd_kernel, c, q),
+        partial(_fwd_kernel, c, q, br),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # A
             pl.BlockSpec(
-                (PAD, BLOCK_R), lambda j, t: (0, j), memory_space=pltpu.VMEM
+                (PAD, br), lambda j, t: (0, j), memory_space=pltpu.VMEM
             ),  # delta0
             pl.BlockSpec(
-                (1, PAD, BLOCK_R),
+                (1, PAD, br),
                 lambda j, t: (t, 0, j),
                 memory_space=pltpu.VMEM,
             ),  # emissions at t
         ],
         out_specs=pl.BlockSpec(
-            (1, PAD, BLOCK_R), lambda j, t: (t, 0, j), memory_space=pltpu.VMEM
+            (1, PAD, br), lambda j, t: (t, 0, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((c, PAD, R), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((PAD, BLOCK_R), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((PAD, br), jnp.float32)],
         interpret=interpret,
     )(A_pad, d0, E_pad)
 
     states = pl.pallas_call(
-        partial(_backtrace_kernel, c, q),
+        partial(_backtrace_kernel, c, q, br),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # A (column selects)
             pl.BlockSpec(
-                (1, BLOCK_R), lambda j, g: (0, j), memory_space=pltpu.VMEM
+                (1, br), lambda j, g: (0, j), memory_space=pltpu.VMEM
             ),  # last_state
             pl.BlockSpec(
-                (1, PAD, BLOCK_R),
+                (1, PAD, br),
                 lambda j, g: (c - 1 - g, 0, j),
                 memory_space=pltpu.VMEM,
             ),  # delta at t
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, BLOCK_R),
+            (1, 1, br),
             lambda j, g: (c - 1 - g, 0, j),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((c, 1, R), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((1, BLOCK_R), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((1, br), jnp.int32)],
         interpret=interpret,
     )(A_pad, j_last, delta)
 

@@ -365,7 +365,7 @@ def _pallas_chunk_inputs(E, P):
     Ec, c = _split_chunks(E, P)
     Et = jnp.moveaxis(Ec, 2, 0)  # (c, m, bP, q)
     R = b * P
-    R_pad = -(-R // pallas_forward.BLOCK_R) * pallas_forward.BLOCK_R
+    R_pad = pallas_viterbi.pad_chunk_elements(R)
     E_T = jnp.swapaxes(_clamped(Et[:, 0]), -1, -2)  # (c, q, R)
     if R_pad != R:
         E_T = jnp.pad(
@@ -558,9 +558,8 @@ def _viterbi_chunked(init, A, E, parallel_factor):
         # chunk elements on lanes) that XLA's layout assignment keeps
         # pessimizing in the composed pipeline — 0.73 ms vs ~12 ms for the
         # XLA scan at q=15, b=32, L=9999, P=99 on TPU v5e.
-        BR = pallas_viterbi.BLOCK_R
         R = b * P
-        R_pad = -(-R // BR) * BR
+        R_pad = pallas_viterbi.pad_chunk_elements(R)
         E_T = jnp.swapaxes(Et[:, 0], -1, -2)  # (c, q, bP)
         if R_pad != R:
             E_T = jnp.pad(E_T, ((0, 0), (0, 0), (0, R_pad - R)))
