@@ -270,8 +270,13 @@ def _boundary_values(init, C):
     return T, S, loglik
 
 
-def _forward_outputs(init, A, E, T, parallel_factor):
-    """Output pass: exact log-forward at every position from boundary values."""
+def _forward_outputs(init, A, E, T, parallel_factor, first_start_log=None):
+    """Output pass: exact log-forward at every position from boundary values.
+
+    ``first_start_log`` optionally overrides the first chunk's pre-emission
+    start vector (m, b, q) — sequence-sharded callers pass the propagated
+    boundary value entering their device block instead of ``log(init)``.
+    """
     m, b, L, q = E.shape
     P = parallel_factor
     Ec, c = _split_chunks(E, P)
@@ -283,9 +288,11 @@ def _forward_outputs(init, A, E, T, parallel_factor):
     r_later = logmatmul(
         T_prev[..., None, :], jnp.log(_clamped(A))[None, :, None]
     )[..., 0, :]
-    r_first = jnp.broadcast_to(
-        jnp.log(_clamped(init))[None, :, None, :], (1, m, b, q)
-    )
+    if first_start_log is None:
+        first_start_log = jnp.broadcast_to(
+            jnp.log(_clamped(init))[:, None, :], (m, b, q)
+        )
+    r_first = first_start_log[None]
     R0_log = jnp.concatenate([r_first, r_later], axis=0)  # (P, m, b, q)
     R0_log = jnp.moveaxis(R0_log, 0, 2).reshape(m, b * P, q)
 
@@ -597,8 +604,24 @@ def _viterbi_chunked(init, A, E, parallel_factor):
         )[:, :R]  # (c, R)
         return jnp.swapaxes(states, 0, 1).reshape(m, b, L)
 
-    eye = jnp.where(jnp.eye(q, dtype=bool), 0.0, _NEG).astype(E.dtype)
-    is_first = (jnp.arange(P) == 0)[None, None, :, None, None]
+    C_T = _viterbi_chunk_summaries(log_A, log_A_T, Et, m, b, q, P)
+    return _viterbi_chunked_combine(
+        init, log_init, log_A, log_A_T, Et, C_T, m, b, L, q, P, c
+    )
+
+
+def _viterbi_chunk_summaries(
+    log_A, log_A_T, Et, m, b, q, P, first_chunk_identity=True
+):
+    """XLA max-plus chunk transfer operators (transposed convention).
+
+    ``first_chunk_identity`` may be traced (sequence-sharded callers pass
+    ``device_index == 0``).
+    """
+    eye = jnp.where(jnp.eye(q, dtype=bool), 0.0, _NEG).astype(Et.dtype)
+    is_first = ((jnp.arange(P) == 0) & first_chunk_identity)[
+        None, None, :, None, None
+    ]
     R0_T = jnp.where(is_first, eye, log_A_T[:, None, None])
     R0_T = jnp.broadcast_to(R0_T, (m, b, P, q, q)).reshape(m, b * P, q, q)
     Et_s = Et[..., None]  # (c, m, bP, q, 1) — emissions on sublanes
@@ -627,24 +650,26 @@ def _viterbi_chunked(init, A, E, parallel_factor):
             return maxmatmul(log_A_T[:, None], M_T) + e_t, None
 
     M_T, _ = lax.scan(sum_step, M0_T, Et_s[1:])
-    C_T = jnp.moveaxis(M_T.reshape(m, b, P, q, q), 2, 0)  # (P, m, b, q, q)
-    return _viterbi_chunked_combine(
-        init, log_init, log_A, log_A_T, Et, C_T, m, b, L, q, P, c
-    )
+    return jnp.moveaxis(M_T.reshape(m, b, P, q, q), 2, 0)  # (P, m, b, q, q)
 
 
-def _viterbi_boundaries(log_init, C_T):
+def _viterbi_boundaries(log_v, C_T):
     """Max-plus forward values at every chunk's last position.
+
+    ``log_v``: the start vector, shape (m, q) or (m, b, q) — sharded callers
+    pass the per-sequence boundary value entering their block.
 
     Returns ``T`` of shape (P, m, b, q): ``T[p](j)`` is the best path score
     over positions up to the end of chunk ``p`` ending in state ``j``.
     """
+    if log_v.ndim == 2:
+        log_v = log_v[:, None]  # (m, 1, q) — broadcast over batch
     # prefix_T[p] = (C_0 ∘ … ∘ C_p)^T = C_p^T ∘ … ∘ C_0^T.
     prefix_T = lax.associative_scan(lambda x, y: maxmatmul(y, x), C_T, axis=0)
-    return jnp.max(prefix_T + log_init[None, :, None, None, :], axis=-1)
+    return jnp.max(prefix_T + log_v[None, :, :, None, :], axis=-1)
 
 
-def _boundary_backtrace(T, C_T):
+def _boundary_backtrace(T, C_T, j_last=None):
     """Optimal state at the last position of every chunk.
 
     A positionwise ``argmax(delta + psi)`` decode is exact only in exact
@@ -657,11 +682,15 @@ def _boundary_backtrace(T, C_T):
     Args:
         T: (P, m, b, q) chunk-end forward values.
         C_T: (P, m, b, q, q) transposed chunk operators.
+        j_last: optional (m, b) int32 — fixed state at the last chunk's end
+            (sequence-sharded callers pass the cross-device boundary state);
+            defaults to ``argmax(T[-1])``.
 
     Returns:
         (P, m, b) int32 — the optimal path's state at each chunk's end.
     """
-    j_last = jnp.argmax(T[-1], axis=-1).astype(jnp.int32)  # (m, b)
+    if j_last is None:
+        j_last = jnp.argmax(T[-1], axis=-1).astype(jnp.int32)  # (m, b)
     q = T.shape[-1]
 
     def backstep(j_next, xs):
@@ -696,11 +725,22 @@ def _viterbi_chunked_combine(
     """
     T = _viterbi_boundaries(log_init, C_T)
     j_end = _boundary_backtrace(T, C_T)  # (P, m, b) int32
+    first_start = jnp.broadcast_to(log_init[:, None, :], (m, b, q))
+    return _viterbi_outputs(first_start, log_A, Et, j_end, m, b, L, q, P)
 
+
+def _viterbi_outputs(first_start_log, log_A, Et, j_end, m, b, L, q, P):
+    """Conditional delta passes + within-chunk backtraces (XLA path).
+
+    ``first_start_log`` (m, b, q): pre-emission start vector of chunk 0
+    (``log_init`` single-device; the propagated boundary-state row for
+    sequence-sharded blocks). ``j_end`` (P, m, b): decoded state at each
+    chunk's end.
+    """
     # -- conditional forward pass per chunk -----------------------------------
     onehot_prev = jax.nn.one_hot(j_end[:-1], q, dtype=Et.dtype)
     r_later = jnp.einsum("pmbi,miq->pmbq", onehot_prev, log_A)  # A[j_end, :]
-    r_first = jnp.broadcast_to(log_init[None, :, None, :], (1, m, b, q))
+    r_first = first_start_log[None]
     r0 = jnp.moveaxis(
         jnp.concatenate([r_first, r_later], axis=0), 0, 2
     ).reshape(m, b * P, q)
@@ -724,7 +764,7 @@ def _viterbi_chunked_combine(
 
     _, rest = lax.scan(backstep, last_state, delta[:-1], reverse=True)
     states = jnp.concatenate([rest, last_state[None]], axis=0)  # (c, m, bP)
-    states = jnp.moveaxis(states, 0, 2).reshape(m, b, P, c)
+    states = jnp.moveaxis(states, 0, 2).reshape(m, b, P, L // P)
     return states.reshape(m, b, L)
 
 

@@ -31,8 +31,18 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..ops.recursion import _chunk_summaries, _clamped
-from ..ops.semiring import logmatmul
+from ..ops.recursion import (
+    _backward_outputs,
+    _boundary_backtrace,
+    _chunk_summaries,
+    _clamped,
+    _forward_outputs,
+    _split_chunks,
+    _viterbi_boundaries,
+    _viterbi_chunk_summaries,
+    _viterbi_outputs,
+)
+from ..ops.semiring import logmatmul, maxmatmul
 
 _PRECISION = lax.Precision.HIGHEST
 
@@ -43,6 +53,8 @@ __all__ = [
     "data_parallel_fn",
     "state_sharded_log_likelihood",
     "seq_sharded_log_likelihood",
+    "seq_sharded_posterior",
+    "seq_sharded_viterbi",
 ]
 
 
@@ -226,3 +238,233 @@ def seq_sharded_log_likelihood(
         return jax.nn.logsumexp(v, axis=-1)
 
     return _ll(init, A, E)
+
+
+def _device_boundary_values(blocks, log_init_b, n_seq):
+    """Forward/backward values at every device-block boundary.
+
+    Each device computes the (tiny, O(n q²)) fold over the gathered block
+    operators redundantly rather than communicating per step.
+
+    Args:
+        blocks: (n_seq, m, b, q, q) log-space block transfer operators.
+        log_init_b: (m, b, q) log initial distribution.
+
+    Returns:
+        v_ends: list of n (m, b, q) — log forward at each block's end.
+        w_ends: list of n (m, b, q) — log backward at each block's end
+            (w_ends[-1] = 0).
+        loglik: (m, b).
+    """
+    v = log_init_b
+    v_ends = []
+    for d in range(n_seq):
+        v = logmatmul(v[..., None, :], blocks[d])[..., 0, :]
+        v_ends.append(v)
+    loglik = jax.nn.logsumexp(v_ends[-1], axis=-1)
+
+    w = jnp.zeros_like(log_init_b)
+    w_ends = [None] * n_seq
+    w_ends[n_seq - 1] = w
+    for d in range(n_seq - 2, -1, -1):
+        w = logmatmul(blocks[d + 1], w[..., :, None])[..., 0]
+        w_ends[d] = w
+    return v_ends, w_ends, loglik
+
+
+def seq_sharded_posterior(
+    init,
+    A,
+    E,
+    mesh: Mesh,
+    seq_axis: str = "seq",
+    data_axis: str | None = None,
+    local_parallel_factor: int = 1,
+    no_loglik: bool = False,
+):
+    """Posterior state log-probabilities with the sequence axis sharded.
+
+    Exact (not approximate): each device reduces its block to a ``q x q``
+    transfer operator, operators are all-gathered (ONE tiny collective),
+    every device folds the global boundary values locally, then runs the
+    intra-device chunked output passes conditioned on its entering/exiting
+    boundary values. Matches the dense :func:`hmm_layer_tpu.posterior` to
+    fp tolerance.
+
+    Returns:
+        (log_gamma (m, b, L, q) sharded over ``seq`` on L, loglik (m, b)).
+    """
+    n_seq = mesh.shape[seq_axis]
+    L = E.shape[2]
+    assert L % n_seq == 0, f"L={L} not divisible by seq axis size {n_seq}"
+
+    in_specs = (
+        P(None, None),
+        P(None, None, None),
+        P(None, data_axis, seq_axis, None),
+    )
+    out_specs = (P(None, data_axis, seq_axis, None), P(None, data_axis))
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    def _post(init_l, A_l, E_l):
+        m, b, L_l, q = E_l.shape
+        idx = lax.axis_index(seq_axis)
+        P_local = max(local_parallel_factor, 1)
+        log_A = jnp.log(_clamped(A_l))
+        log_init_b = jnp.broadcast_to(
+            jnp.log(_clamped(init_l))[:, None, :], (m, b, q)
+        )
+
+        C, _ = _chunk_summaries(
+            A_l, E_l, P_local, first_chunk_identity=(idx == 0)
+        )
+        block = C[0]
+        for p in range(1, P_local):
+            block = logmatmul(block, C[p])
+        blocks = lax.all_gather(block, seq_axis)  # (n, m, b, q, q)
+        v_ends, w_ends, ll = _device_boundary_values(blocks, log_init_b, n_seq)
+
+        # Boundary values entering/exiting THIS device's block.
+        v_all = jnp.stack([log_init_b] + v_ends[:-1], axis=0)
+        v_enter = lax.dynamic_index_in_dim(v_all, idx, 0, keepdims=False)
+        w_exit = lax.dynamic_index_in_dim(
+            jnp.stack(w_ends, axis=0), idx, 0, keepdims=False
+        )
+
+        # Within-device chunk boundaries, conditioned on v_enter / w_exit.
+        prefix = lax.associative_scan(logmatmul, C, axis=0)
+        T = jax.nn.logsumexp(
+            v_enter[None, ..., None] + prefix, axis=-2
+        )  # (P_local, m, b, q)
+        suffix = lax.associative_scan(
+            lambda x, y: logmatmul(y, x), C, axis=0, reverse=True
+        )
+        S_inner = logmatmul(suffix[1:], w_exit[None, ..., None])[..., 0]
+        S = jnp.concatenate([S_inner, w_exit[None]], axis=0)
+
+        # First-chunk start: identity for the global head, A-propagated
+        # boundary value otherwise.
+        first_start = jnp.where(
+            idx == 0,
+            log_init_b,
+            logmatmul(v_enter[..., None, :], log_A[:, None])[..., 0, :],
+        )
+        la = _forward_outputs(
+            init_l, A_l, E_l, T, P_local, first_start_log=first_start
+        )
+        lb = _backward_outputs(A_l, E_l, S, P_local)
+        log_gamma = la + lb
+        if not no_loglik:
+            log_gamma = log_gamma - ll[..., None, None]
+        return log_gamma, ll
+
+    return _post(init, A, E)
+
+
+def seq_sharded_viterbi(
+    init,
+    A,
+    E,
+    mesh: Mesh,
+    seq_axis: str = "seq",
+    data_axis: str | None = None,
+    local_parallel_factor: int = 1,
+):
+    """Viterbi decode with the sequence axis sharded across devices.
+
+    Same structure as :func:`seq_sharded_posterior` in the tropical
+    semiring: one all-gather of max-plus block operators, a redundant
+    device-boundary backtrace computed locally on every device, then the
+    intra-device conditional decode (chunk-level backtrace + within-chunk
+    backtraces) — the spliced result is one valid optimal path.
+
+    Returns:
+        states (m, b, L) int32, sharded over ``seq`` on L.
+    """
+    n_seq = mesh.shape[seq_axis]
+    L = E.shape[2]
+    assert L % n_seq == 0, f"L={L} not divisible by seq axis size {n_seq}"
+
+    in_specs = (
+        P(None, None),
+        P(None, None, None),
+        P(None, data_axis, seq_axis, None),
+    )
+    out_specs = P(None, data_axis, seq_axis)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    def _vit(init_l, A_l, E_l):
+        m, b, L_l, q = E_l.shape
+        idx = lax.axis_index(seq_axis)
+        P_local = max(local_parallel_factor, 1)
+        log_A = jnp.log(_clamped(A_l))
+        log_A_T = jnp.swapaxes(log_A, -1, -2)
+        log_init = jnp.log(_clamped(init_l))
+        log_init_b = jnp.broadcast_to(log_init[:, None, :], (m, b, q))
+        log_E = jnp.log(_clamped(E_l))
+        Ec, c = _split_chunks(log_E, P_local)
+        Et = jnp.moveaxis(Ec, 2, 0)  # (c, m, bP, q)
+
+        C_T = _viterbi_chunk_summaries(
+            log_A, log_A_T, Et, m, b, q, P_local,
+            first_chunk_identity=(idx == 0),
+        )
+        # Fold the transposed chunk operators into one block operator:
+        # (C_0 ∘ ... ∘ C_p)^T = C_p^T ∘ (...)^T.
+        block_T = C_T[0]
+        for p in range(1, P_local):
+            block_T = maxmatmul(C_T[p], block_T)
+        blocks_T = lax.all_gather(block_T, seq_axis)  # (n, m, b, q, q)
+
+        # Device-boundary forward values and state chain (computed
+        # redundantly on every device from the gathered operators).
+        v = log_init_b
+        v_ends = []
+        for d in range(n_seq):
+            v = jnp.max(blocks_T[d] + v[..., None, :], axis=-1)
+            v_ends.append(v)
+        j_dev = [None] * n_seq
+        j_dev[n_seq - 1] = jnp.argmax(v_ends[-1], axis=-1).astype(jnp.int32)
+        for d in range(n_seq - 1, 0, -1):
+            onehot = jax.nn.one_hot(j_dev[d], q, dtype=blocks_T.dtype)
+            row = jnp.einsum("mbji,mbj->mbi", blocks_T[d], onehot)
+            j_dev[d - 1] = jnp.argmax(v_ends[d - 1] + row, axis=-1).astype(
+                jnp.int32
+            )
+
+        v_all = jnp.stack([log_init_b] + v_ends[:-1], axis=0)
+        v_enter = lax.dynamic_index_in_dim(v_all, idx, 0, keepdims=False)
+        j_exit = lax.dynamic_index_in_dim(
+            jnp.stack(j_dev, axis=0), idx, 0, keepdims=False
+        )
+        j_enter = lax.dynamic_index_in_dim(
+            jnp.stack([jnp.zeros_like(j_dev[0])] + j_dev[:-1], axis=0),
+            idx,
+            0,
+            keepdims=False,
+        )
+
+        # Intra-device decode conditioned on the boundary states.
+        T = _viterbi_boundaries(v_enter, C_T)
+        j_end = _boundary_backtrace(T, C_T, j_last=j_exit)
+        enter_row = jnp.einsum(
+            "miq,mbi->mbq", log_A, jax.nn.one_hot(j_enter, q, dtype=log_A.dtype)
+        )  # A[j_enter, :]
+        first_start = jnp.where(idx == 0, log_init_b, enter_row)
+        return _viterbi_outputs(
+            first_start, log_A, Et, j_end, m, b, L_l, q, P_local
+        )
+
+    return _vit(init, A, E)

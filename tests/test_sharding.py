@@ -135,3 +135,78 @@ class TestSeqSharded:
             data_axis="data",
         )
         np.testing.assert_allclose(ll, ll_ref, rtol=1e-4)
+
+
+class TestSeqShardedPosterior:
+    @pytest.mark.parametrize("n_seq", [2, 4])
+    def test_matches_dense(self, n_seq):
+        init, A, E = random_hmm(RNG, q=5, L=48, b=3)
+        init, A, E = _stack(init, A, E)
+        mesh = sharding.make_mesh({"seq": n_seq})
+        lg_ref, ll_ref = recursion.posterior(init, A, E)
+        lg, ll = sharding.seq_sharded_posterior(
+            jnp.asarray(init), jnp.asarray(A), jnp.asarray(E), mesh
+        )
+        np.testing.assert_allclose(ll, ll_ref, rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(lg), np.asarray(lg_ref), rtol=1e-3, atol=2e-3
+        )
+
+    def test_with_local_chunking_and_data_axis(self):
+        init, A, E = random_hmm(RNG, q=5, L=48, b=4)
+        init, A, E = _stack(init, A, E)
+        mesh = sharding.make_mesh({"data": 2, "seq": 4})
+        lg_ref, ll_ref = recursion.posterior(init, A, E)
+        lg, ll = sharding.seq_sharded_posterior(
+            jnp.asarray(init),
+            jnp.asarray(A),
+            jnp.asarray(E),
+            mesh,
+            data_axis="data",
+            local_parallel_factor=3,
+        )
+        np.testing.assert_allclose(ll, ll_ref, rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(lg), np.asarray(lg_ref), rtol=1e-3, atol=2e-3
+        )
+
+    def test_no_loglik(self):
+        init, A, E = random_hmm(RNG, q=4, L=16, b=2)
+        init, A, E = _stack(init, A, E)
+        mesh = sharding.make_mesh({"seq": 2})
+        lg_ref, _ = recursion.posterior(init, A, E, no_loglik=True)
+        lg, _ = sharding.seq_sharded_posterior(
+            jnp.asarray(init), jnp.asarray(A), jnp.asarray(E), mesh,
+            no_loglik=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(lg), np.asarray(lg_ref), rtol=1e-3, atol=2e-3
+        )
+
+
+class TestSeqShardedViterbi:
+    @pytest.mark.parametrize("n_seq", [2, 4])
+    def test_matches_dense(self, n_seq):
+        init, A, E = random_hmm(RNG, q=5, L=48, b=3, peaked=True)
+        init, A, E = _stack(init, A, E)
+        mesh = sharding.make_mesh({"seq": n_seq})
+        ref = recursion.viterbi(init, A, E)
+        paths = sharding.seq_sharded_viterbi(
+            jnp.asarray(init), jnp.asarray(A), jnp.asarray(E), mesh
+        )
+        np.testing.assert_array_equal(np.asarray(paths), np.asarray(ref))
+
+    def test_with_local_chunking_and_data_axis(self):
+        init, A, E = random_hmm(RNG, q=5, L=48, b=4, peaked=True)
+        init, A, E = _stack(init, A, E)
+        mesh = sharding.make_mesh({"data": 2, "seq": 4})
+        ref = recursion.viterbi(init, A, E)
+        paths = sharding.seq_sharded_viterbi(
+            jnp.asarray(init),
+            jnp.asarray(A),
+            jnp.asarray(E),
+            mesh,
+            data_axis="data",
+            local_parallel_factor=3,
+        )
+        np.testing.assert_array_equal(np.asarray(paths), np.asarray(ref))
