@@ -52,6 +52,7 @@ __all__ = [
     "replicate",
     "data_parallel_fn",
     "state_sharded_log_likelihood",
+    "state_sharded_posterior",
     "seq_sharded_log_likelihood",
     "seq_sharded_posterior",
     "seq_sharded_viterbi",
@@ -170,6 +171,104 @@ def state_sharded_log_likelihood(
         return ll
 
     return _ll(init, A, E)
+
+
+def state_sharded_posterior(
+    init,
+    A,
+    E,
+    mesh: Mesh,
+    state_axis: str = "state",
+    data_axis: str | None = None,
+    no_loglik: bool = False,
+):
+    """Posterior state log-probabilities with the state dimension sharded.
+
+    For 500+-state models (multi-copy gene-pred HMMs, BASELINE config 5)
+    where a q x q chunk operator would not fit: sequential scaled forward
+    and backward scans with alpha/beta columns sharded over ``state_axis``;
+    each step computes the partial contraction against the local A block
+    and reduces with ``psum``. The transition matrix is consumed twice —
+    row-sharded (forward) and column-sharded (backward).
+
+    Returns:
+        (log_gamma (m, b, L, q) sharded on q, loglik (m, b)).
+    """
+    n_state = mesh.shape[state_axis]
+    q = E.shape[-1]
+    assert q % n_state == 0, f"q={q} not divisible by state axis size {n_state}"
+
+    in_specs = (
+        P(None, state_axis),  # init (m, q)
+        P(None, state_axis, None),  # A rows sharded (forward contraction)
+        P(None, None, state_axis),  # A cols sharded (backward contraction)
+        P(None, data_axis, None, state_axis),  # E (m, b, L, q)
+    )
+    out_specs = (P(None, data_axis, None, state_axis), P(None, data_axis))
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    def _post(init_l, A_r, A_c, E_l):
+        m, b, L, q_l = E_l.shape
+        idx = lax.axis_index(state_axis)
+        Et = jnp.moveaxis(E_l, 2, 0)  # (L, m, b, q_l)
+
+        # -- scaled forward with per-position outputs ---------------------------
+        s0 = _clamped(Et[0]) * _clamped(init_l)[:, None, :]
+        z0 = lax.psum(jnp.sum(s0, axis=-1, keepdims=True), state_axis)
+        carry0 = (s0 / z0, jnp.log(z0[..., 0]))
+
+        def fstep(carry, e_t):
+            alpha_l, ll = carry
+            partial_r = jnp.einsum(
+                "mbq,mqp->mbp", alpha_l, A_r, precision=_PRECISION
+            )
+            r_full = lax.psum(partial_r, state_axis)
+            r_l = lax.dynamic_slice_in_dim(r_full, idx * q_l, q_l, axis=-1)
+            s = _clamped(e_t) * _clamped(r_l)
+            z = lax.psum(jnp.sum(s, axis=-1, keepdims=True), state_axis)
+            alpha_new, ll_new = s / z, ll + jnp.log(z[..., 0])
+            return (alpha_new, ll_new), jnp.log(alpha_new) + ll_new[..., None]
+
+        (alpha_l, ll), fouts = lax.scan(fstep, carry0, Et[1:])
+        la0 = jnp.log(carry0[0]) + carry0[1][..., None]
+        log_alpha = jnp.concatenate([la0[None], fouts], axis=0)  # (L, m, b, q_l)
+
+        # -- scaled backward ------------------------------------------------------
+        beta_last = jnp.ones((m, b, q_l), E_l.dtype)
+        bll_last = jnp.zeros((m, b), E_l.dtype)
+
+        def bstep(carry, e_next):
+            beta, bll = carry
+            r = _clamped(e_next) * beta  # local columns j
+            partial_s = jnp.einsum(
+                "mbq,mpq->mbp", r, A_c, precision=_PRECISION
+            )  # contraction over local j -> full p
+            s_full = lax.psum(partial_s, state_axis)
+            s_l = _clamped(
+                lax.dynamic_slice_in_dim(s_full, idx * q_l, q_l, axis=-1)
+            )
+            z = lax.pmax(
+                jnp.max(s_l, axis=-1, keepdims=True), state_axis
+            )
+            beta_new, bll_new = s_l / z, bll + jnp.log(z[..., 0])
+            return (beta_new, bll_new), jnp.log(beta_new) + bll_new[..., None]
+
+        _, bouts = lax.scan(bstep, (beta_last, bll_last), Et[1:], reverse=True)
+        lb_last = jnp.zeros((1, m, b, q_l), E_l.dtype)
+        log_beta = jnp.concatenate([bouts, lb_last], axis=0)
+
+        log_gamma = jnp.moveaxis(log_alpha + log_beta, 0, 2)  # (m, b, L, q_l)
+        if not no_loglik:
+            log_gamma = log_gamma - ll[..., None, None]
+        return log_gamma, ll
+
+    return _post(init, A, A, E)
 
 
 # ---------------------------------------------------------------------------

@@ -210,3 +210,36 @@ class TestSeqShardedViterbi:
             local_parallel_factor=3,
         )
         np.testing.assert_array_equal(np.asarray(paths), np.asarray(ref))
+
+
+class TestStateShardedPosterior:
+    @pytest.mark.parametrize("n_state", [2, 4])
+    def test_matches_dense(self, n_state):
+        init, A, E = random_hmm(RNG, q=8, L=24, b=3)
+        init, A, E = _stack(init, A, E)
+        mesh = sharding.make_mesh({"state": n_state})
+        lg_ref, ll_ref = recursion.posterior(init, A, E)
+        lg, ll = sharding.state_sharded_posterior(
+            jnp.asarray(init), jnp.asarray(A), jnp.asarray(E), mesh
+        )
+        np.testing.assert_allclose(ll, ll_ref, rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(lg), np.asarray(lg_ref), rtol=1e-3, atol=2e-3
+        )
+
+    def test_composed_with_data_axis_no_loglik(self):
+        init, A, E = random_hmm(RNG, q=8, L=16, b=4)
+        init, A, E = _stack(init, A, E)
+        mesh = sharding.make_mesh({"data": 2, "state": 4})
+        lg_ref, _ = recursion.posterior(init, A, E, no_loglik=True)
+        lg, _ = sharding.state_sharded_posterior(
+            jnp.asarray(init),
+            jnp.asarray(A),
+            jnp.asarray(E),
+            mesh,
+            data_axis="data",
+            no_loglik=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(lg), np.asarray(lg_ref), rtol=1e-3, atol=2e-3
+        )
