@@ -243,3 +243,55 @@ class TestStateShardedPosterior:
         np.testing.assert_allclose(
             np.asarray(lg), np.asarray(lg_ref), rtol=1e-3, atol=2e-3
         )
+
+
+class TestConfig5Integration:
+    """BASELINE config 5: multi-copy gene-pred HMM, state-sharded, padded q."""
+
+    def test_multicopy_gene_pred_state_sharded(self):
+        from hmm_layer_tpu.layer import HMMLayer
+        from hmm_layer_tpu.models import (
+            GenePredEmissions,
+            GenePredMultiTransitions,
+        )
+
+        k = 9  # 1 + 14k = 127 states
+        layer = HMMLayer(
+            GenePredMultiTransitions(k=k),
+            GenePredEmissions(
+                start_codons=[("ATG", 1.0)],
+                stop_codons=[("TAG", 0.34), ("TAA", 0.33), ("TGA", 0.33)],
+                intron_begin_pattern=[("NGT", 0.99), ("NAT", 0.01)],
+                intron_end_pattern=[("AGN", 0.99), ("ACN", 0.01)],
+                num_copies=k,
+            ),
+            use_prior=False,
+        )
+        params = layer.init_params(jax.random.PRNGKey(0), input_dim=15)
+        rng = np.random.default_rng(3)
+        b, L, q = 2, 12, 1 + 14 * k
+        cls = jnp.asarray(
+            rng.dirichlet(np.ones(15), size=(1, b, L)).astype(np.float32)
+        )
+        nucs = jax.nn.one_hot(
+            jnp.asarray(rng.integers(0, 4, size=(1, b, L))), 5,
+            dtype=jnp.float32,
+        )
+        x = jnp.concatenate([cls, nucs], axis=-1)
+        init, A = layer.transitions.matrices(params["transitions"])
+        E = layer.emission_probs(params, x)
+
+        lg_ref, ll_ref = recursion.posterior(init, A, E)
+
+        # Pad q -> 128 (divisible by the 4-way state axis); padded states get
+        # zero emission/initial probability and arbitrary A rows.
+        q_pad = 128
+        init_p = jnp.pad(init, ((0, 0), (0, q_pad - q)))
+        A_p = jnp.pad(A, ((0, 0), (0, q_pad - q), (0, q_pad - q)))
+        E_p = jnp.pad(E, ((0, 0), (0, 0), (0, 0), (0, q_pad - q)))
+        mesh = sharding.make_mesh({"state": 4})
+        lg, ll = sharding.state_sharded_posterior(init_p, A_p, E_p, mesh)
+        np.testing.assert_allclose(np.asarray(ll), np.asarray(ll_ref), rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(lg)[..., :q], np.asarray(lg_ref), rtol=1e-3, atol=2e-3
+        )
