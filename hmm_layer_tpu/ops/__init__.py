@@ -1,0 +1,49 @@
+"""Compute primitives: semiring ops, HMM recursions, scan drivers, k-mers.
+
+``recursion`` is the engine (forward/backward/posterior/viterbi with the
+chunked parallel scan and Pallas TPU fast paths); ``semiring`` holds the
+log-space / tropical building blocks; ``scan`` provides generic RNN-style
+drivers for custom cells; ``kmer`` encodes one-hot nucleotide sequences.
+"""
+
+from . import kmer, recursion, scan, semiring
+from .recursion import (
+    ForwardResult,
+    backward,
+    forward,
+    log_likelihood,
+    posterior,
+    viterbi,
+)
+from .scan import bidirectional_scan, rnn_scan
+from .semiring import (
+    EPS,
+    LOG_ZERO,
+    log_normalize,
+    logmatmul,
+    logmatvec,
+    maxargmatvec,
+    maxmatmul,
+)
+
+__all__ = [
+    "ForwardResult",
+    "forward",
+    "backward",
+    "posterior",
+    "log_likelihood",
+    "viterbi",
+    "rnn_scan",
+    "bidirectional_scan",
+    "logmatmul",
+    "logmatvec",
+    "maxmatmul",
+    "maxargmatvec",
+    "log_normalize",
+    "EPS",
+    "LOG_ZERO",
+    "kmer",
+    "recursion",
+    "scan",
+    "semiring",
+]
