@@ -487,10 +487,13 @@ def _posterior_fast_bwd(P, no_loglik, res, ct):
 _posterior_chunked_fast.defvjp(_posterior_fast_fwd, _posterior_fast_bwd)
 
 
-def _loglik_chunked_pallas(init, A, E, P):
+def _loglik_chunked_primal(init, A, E, P):
     m, b, L, q = E.shape
-    E_T, c, R, R_pad = _pallas_chunk_inputs(E, P)
-    C = _chunk_summaries_pallas(A, E_T, P, m, b, R)
+    if _use_pallas(q, m):
+        E_T, c, R, R_pad = _pallas_chunk_inputs(E, P)
+        C = _chunk_summaries_pallas(A, E_T, P, m, b, R)
+    else:
+        C, _ = _chunk_summaries(A, E, P)
     # Only the prefix reduction survives DCE inside _boundary_values.
     _, _, ll = _boundary_values(init, C)
     return ll
@@ -498,22 +501,53 @@ def _loglik_chunked_pallas(init, A, E, P):
 
 @partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _loglik_chunked_fast(init, A, E, P):
-    return _loglik_chunked_pallas(init, A, E, P)
+    """Chunked log-likelihood with an analytic (Baum-Welch) VJP.
+
+    Autodiff through the summary scan would tape the O(L·q²) operator
+    carries; the analytic gradient needs only one forward + one backward
+    pass (cf. the linear-memory Baum-Welch formulation, PAPERS.md):
+
+        dll/dE_t(j)  = gamma_t(j) / E_t(j)
+        dll/dA(i,j)  = sum_t alpha_{t-1}(i) E_t(j) beta_t(j) / P(x)
+        dll/dpi(i)   = E_0(i) beta_0(i) / P(x)
+
+    with zero gradient where the EPS clamps bind. Matches autodiff of the
+    scaled sequential recursion to fp tolerance (~1e-6 rel).
+    """
+    return _loglik_chunked_primal(init, A, E, P)
 
 
 def _loglik_fast_fwd(init, A, E, P):
-    return _loglik_chunked_pallas(init, A, E, P), (init, A, E)
+    return _loglik_chunked_primal(init, A, E, P), (init, A, E)
 
 
 def _loglik_fast_bwd(P, res, ct):
     init, A, E = res
+    la, ll = forward(init, A, E, P)
+    lb = backward(init, A, E, P)
+    log_E = jnp.log(_clamped(E))
 
-    def xla_ll(i, a, e):
-        C, _ = _chunk_summaries(a, e, P)
-        return _boundary_values(i, C)[2]
-
-    _, vjp = jax.vjp(xla_ll, init, A, E)
-    return vjp(ct)
+    lgam = la + lb - ll[..., None, None]
+    gE = jnp.exp(lgam - log_E) * (E >= EPS) * ct[..., None, None]
+    ginit = (
+        jnp.sum(
+            jnp.exp(log_E[:, :, 0] + lb[:, :, 0] - ll[..., None])
+            * ct[..., None],
+            axis=1,
+        )
+        * (init >= EPS)
+    )
+    # Expected transition statistics: shift each timestep by the row max of
+    # log alpha so both einsum factors stay in f32 range (their product is
+    # O(1); the factors alone would over/underflow at |ll| ~ L).
+    cshift = jnp.max(la[:, :, :-1], axis=-1, keepdims=True)
+    w = jnp.exp(la[:, :, :-1] - cshift)
+    u = (
+        jnp.exp(lb[:, :, 1:] + log_E[:, :, 1:] - ll[..., None, None] + cshift)
+        * ct[..., None, None]
+    )
+    gA = jnp.einsum("mbti,mbtj->mij", w, u, precision=_PRECISION)
+    return ginit, gA, gE
 
 
 _loglik_chunked_fast.defvjp(_loglik_fast_fwd, _loglik_fast_bwd)
@@ -825,12 +859,7 @@ def log_likelihood(init, A, E, parallel_factor: int = 1) -> jax.Array:
 
         (alpha, ll), _ = lax.scan(step, carry0, Et[1:])
         return ll
-    m, _, _, q = E.shape
-    if _use_pallas(q, m):
-        return _loglik_chunked_fast(init, A, E, parallel_factor)
-    C, _ = _chunk_summaries(A, E, parallel_factor)
-    _, _, ll = _boundary_values(init, C)
-    return ll
+    return _loglik_chunked_fast(init, A, E, parallel_factor)
 
 
 def posterior(

@@ -195,6 +195,34 @@ class TestViterbi:
 
 
 class TestGradients:
+    @pytest.mark.parametrize("force_pallas", [False, True])
+    def test_chunked_loglik_analytic_vjp(self, monkeypatch, force_pallas):
+        # The chunked loglik uses an analytic Baum-Welch VJP; it must match
+        # autodiff of the sequential recursion for init, A and E cotangents,
+        # through both the XLA and the Pallas (interpret) primal.
+        if force_pallas:
+            from hmm_layer_tpu.ops import pallas_viterbi
+
+            monkeypatch.setattr(pallas_viterbi, "FORCE_INTERPRET", True)
+        init, A, E = random_hmm(RNG, q=6, L=24, b=3)
+        ini, Aj, Ej = _stack(init, A, E)
+        ct = jnp.asarray(
+            np.random.default_rng(1).normal(size=(1, 3)).astype(np.float32)
+        )
+
+        def f(pf):
+            def inner(i, a, e):
+                return jnp.sum(recursion.log_likelihood(i, a, e, pf) * ct)
+
+            return jax.grad(inner, argnums=(0, 1, 2))(ini, Aj, Ej)
+
+        g_ref = f(1)
+        g_chunk = f(4)
+        for a, r in zip(g_chunk, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(r), rtol=2e-3, atol=2e-4
+            )
+
     def test_loglik_grad_matches_fd(self):
         init, A, E = random_hmm(RNG, q=3, L=8, b=1)
 
