@@ -270,32 +270,33 @@ def _boundary_values(init, C):
     return T, S, loglik
 
 
-def _forward_outputs(init, A, E, T, parallel_factor, first_start_log=None):
-    """Output pass: exact log-forward at every position from boundary values.
+def _forward_boundary_starts(init, A, T, first_start_log=None):
+    """Per-chunk pre-emission start vectors, flattened to (m, bP, q).
 
-    ``first_start_log`` optionally overrides the first chunk's pre-emission
-    start vector (m, b, q) — sequence-sharded callers pass the propagated
-    boundary value entering their device block instead of ``log(init)``.
+    Chunk 0 starts from ``log(init)`` (or ``first_start_log`` — sequence-
+    sharded callers pass the propagated boundary value entering their device
+    block); chunk p > 0 from ``T[p-1]`` propagated through ``A``.
     """
-    m, b, L, q = E.shape
-    P = parallel_factor
-    Ec, c = _split_chunks(E, P)
-    Et = jnp.moveaxis(Ec, 2, 0)  # (c, m, bP, q)
-
-    # Boundary "previous alpha" per chunk: init for chunk 0 (used directly),
-    # T[p-1] propagated through A for chunks > 0.
-    T_prev = T[:-1]  # (P-1, m, b, q)
+    P, m, b, q = T.shape
     r_later = logmatmul(
-        T_prev[..., None, :], jnp.log(_clamped(A))[None, :, None]
+        T[:-1][..., None, :], jnp.log(_clamped(A))[None, :, None]
     )[..., 0, :]
     if first_start_log is None:
         first_start_log = jnp.broadcast_to(
             jnp.log(_clamped(init))[:, None, :], (m, b, q)
         )
-    r_first = first_start_log[None]
-    R0_log = jnp.concatenate([r_first, r_later], axis=0)  # (P, m, b, q)
-    R0_log = jnp.moveaxis(R0_log, 0, 2).reshape(m, b * P, q)
+    R0_log = jnp.concatenate([first_start_log[None], r_later], axis=0)
+    return jnp.moveaxis(R0_log, 0, 2).reshape(m, b * P, q)
 
+
+def _forward_outputs(init, A, E, T, parallel_factor, first_start_log=None):
+    """Output pass: exact log-forward at every position from boundary values."""
+    m, b, L, q = E.shape
+    P = parallel_factor
+    Ec, c = _split_chunks(E, P)
+    Et = jnp.moveaxis(Ec, 2, 0)  # (c, m, bP, q)
+
+    R0_log = _forward_boundary_starts(init, A, T, first_start_log)
     ll0 = jax.nn.logsumexp(R0_log, axis=-1)  # (m, bP)
     r0 = jnp.exp(R0_log - ll0[..., None])
 
@@ -361,8 +362,13 @@ def _backward_outputs(A, E, S, parallel_factor):
 
 
 def _use_pallas(q: int, m: int) -> bool:
+    # The kernels are Mosaic/TPU-only: fall back to XLA on CPU *and* GPU
+    # (an unknown backend name is assumed to be a TPU variant, e.g. the
+    # experimental "axon" platform).
+    backend = jax.default_backend()
     return pallas_forward.supported(q, m) and (
-        pallas_viterbi.FORCE_INTERPRET or jax.default_backend() != "cpu"
+        pallas_viterbi.FORCE_INTERPRET
+        or backend not in ("cpu", "gpu", "cuda", "rocm")
     )
 
 
@@ -403,16 +409,7 @@ def _posterior_chunked_pallas(init, A, E, P, no_loglik):
     C = _chunk_summaries_pallas(A, E_T, P, m, b, R)
     T, S, ll = _boundary_values(init, C)
 
-    # Forward boundary starts (same construction as _forward_outputs).
-    r_later = logmatmul(
-        T[:-1][..., None, :], jnp.log(_clamped(A))[None, :, None]
-    )[..., 0, :]
-    r_first = jnp.broadcast_to(
-        jnp.log(_clamped(init))[None, :, None, :], (1, m, b, q)
-    )
-    R0_log = jnp.moveaxis(
-        jnp.concatenate([r_first, r_later], axis=0), 0, 2
-    ).reshape(m, b * P, q)
+    R0_log = _forward_boundary_starts(init, A, T)
     ll0 = jax.nn.logsumexp(R0_log, axis=-1)  # (m, R)
     r0 = jnp.exp(R0_log - ll0[..., None])
     log_alpha = pallas_forward.sum_fwd_outputs(
@@ -487,16 +484,27 @@ def _posterior_fast_bwd(P, no_loglik, res, ct):
 _posterior_chunked_fast.defvjp(_posterior_fast_fwd, _posterior_fast_bwd)
 
 
-def _loglik_chunked_primal(init, A, E, P):
+def _chunk_summaries_dispatch(init, A, E, P):
     m, b, L, q = E.shape
     if _use_pallas(q, m):
         E_T, c, R, R_pad = _pallas_chunk_inputs(E, P)
-        C = _chunk_summaries_pallas(A, E_T, P, m, b, R)
-    else:
-        C, _ = _chunk_summaries(A, E, P)
-    # Only the prefix reduction survives DCE inside _boundary_values.
-    _, _, ll = _boundary_values(init, C)
-    return ll
+        return _chunk_summaries_pallas(A, E_T, P, m, b, R)
+    return _chunk_summaries(A, E, P)[0]
+
+
+def _loglik_chunked_primal(init, A, E, P):
+    C = _chunk_summaries_dispatch(init, A, E, P)
+    # Prefix-only fold — no suffix products (the fused prefix+suffix scan
+    # in _boundary_values is not reliably DCE'd down to one direction).
+    log_init = jnp.log(_clamped(init))
+    m, b = C.shape[1:3]
+    v0 = jnp.broadcast_to(log_init[:, None], (m, b, log_init.shape[-1]))
+
+    def fold(v, C_p):
+        return logmatmul(v[..., None, :], C_p)[..., 0, :], None
+
+    v, _ = lax.scan(fold, v0, C)
+    return jax.nn.logsumexp(v, axis=-1)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -511,8 +519,12 @@ def _loglik_chunked_fast(init, A, E, P):
         dll/dA(i,j)  = sum_t alpha_{t-1}(i) E_t(j) beta_t(j) / P(x)
         dll/dpi(i)   = E_0(i) beta_0(i) / P(x)
 
-    with zero gradient where the EPS clamps bind. Matches autodiff of the
-    scaled sequential recursion to fp tolerance (~1e-6 rel).
+    with zero gradient where the init/E EPS clamps bind (A is not clamped
+    by the recursion, so exact-zero transitions still receive their true
+    nonzero gradient, matching autodiff). Matches autodiff of the scaled
+    sequential recursion to fp tolerance (~1e-6 rel). Reverse-mode only:
+    custom_vjp functions do not support jax.jvp/jacfwd — use
+    ``parallel_factor=1`` for forward-mode differentiation.
     """
     return _loglik_chunked_primal(init, A, E, P)
 
@@ -523,8 +535,11 @@ def _loglik_fast_fwd(init, A, E, P):
 
 def _loglik_fast_bwd(P, res, ct):
     init, A, E = res
-    la, ll = forward(init, A, E, P)
-    lb = backward(init, A, E, P)
+    # One summary pass serves both directions.
+    C = _chunk_summaries_dispatch(init, A, E, P)
+    T, S, ll = _boundary_values(init, C)
+    la = _forward_outputs(init, A, E, T, P)
+    lb = _backward_outputs(A, E, S, P)
     log_E = jnp.log(_clamped(E))
 
     lgam = la + lb - ll[..., None, None]
@@ -567,11 +582,11 @@ def _viterbi_chunked(init, A, E, parallel_factor):
     """Parallel Viterbi: identical two-pass structure as the sum-product
     engine, with the tropical semiring ``(max, +)`` in log space.
 
-    The decoded state at every position is ``argmax_j delta_t(j) + psi_t(j)``
-    where ``delta`` is the max-plus forward and ``psi`` the max-plus backward
-    variable — the optimal path visits exactly the maximizing state at each
-    position (unique up to ties, which random/trained emissions break a.s.).
-    This avoids a global backtrace, so decode depth is O(L/P + log P).
+    Decode = chunk-level backtrace over the transfer operators, then
+    per-chunk *conditional* delta recursions and within-chunk backtraces
+    (see :func:`_boundary_backtrace` for why a positionwise
+    ``argmax(delta + psi)`` is not f32-safe). Sequential depth is
+    O(L/P + log P).
     """
     m, b, L, q = E.shape
     P = parallel_factor
@@ -591,10 +606,7 @@ def _viterbi_chunked(init, A, E, parallel_factor):
     # decode).
     log_A_T = jnp.swapaxes(log_A, -1, -2)
 
-    use_pallas = pallas_viterbi.supported(q, m) and (
-        pallas_viterbi.FORCE_INTERPRET or jax.default_backend() != "cpu"
-    )
-    if use_pallas:
+    if _use_pallas(q, m):
         # Pallas TPU kernel: pins the carry layout (operators on sublanes,
         # chunk elements on lanes) that XLA's layout assignment keeps
         # pessimizing in the composed pipeline — 0.73 ms vs ~12 ms for the
@@ -616,14 +628,12 @@ def _viterbi_chunked(init, A, E, parallel_factor):
         # Conditional per-chunk start vectors in the kernel's (q, R) layout
         # (see _viterbi_chunked_combine for why conditioning on the decoded
         # border state is required for a valid-path guarantee).
-        onehot_prev = jax.nn.one_hot(j_end[:-1], q, dtype=E.dtype)
-        r_later = jnp.einsum("pmbi,miq->pmbq", onehot_prev, log_A)
-        r_first = jnp.broadcast_to(log_init[None, :, None, :], (1, m, b, q))
-        r0 = jnp.moveaxis(
-            jnp.concatenate([r_first, r_later], axis=0), 0, 2
-        ).reshape(m, b * P, q)
+        first_start = jnp.broadcast_to(log_init[:, None, :], (m, b, q))
+        r0, last_state_mb = _conditional_viterbi_starts(
+            first_start, log_A, j_end
+        )
         delta0 = jnp.swapaxes((r0 + Et[0])[0], 0, 1)  # (q, R)
-        last_state = jnp.moveaxis(j_end, 0, 2).reshape(m, b * P)[0]  # (R,)
+        last_state = last_state_mb[0]  # (R,)
         if R_pad != R:
             delta0 = jnp.pad(
                 delta0, ((0, 0), (0, R_pad - R)), constant_values=_NEG
@@ -763,6 +773,25 @@ def _viterbi_chunked_combine(
     return _viterbi_outputs(first_start, log_A, Et, j_end, m, b, L, q, P)
 
 
+def _conditional_viterbi_starts(first_start_log, log_A, j_end):
+    """Per-chunk conditional start vectors + decoded chunk-end states.
+
+    Returns ``r0`` (m, bP, q): chunk 0 starts from ``first_start_log``,
+    chunk p > 0 from the row ``A[j_end[p-1], :]`` — conditioning on the
+    decoded border state guarantees valid splices; and ``last_state``
+    (m, bP) int32.
+    """
+    P, m, b = j_end.shape
+    q = log_A.shape[-1]
+    onehot_prev = jax.nn.one_hot(j_end[:-1], q, dtype=log_A.dtype)
+    r_later = jnp.einsum("pmbi,miq->pmbq", onehot_prev, log_A)  # A[j_end, :]
+    r0 = jnp.moveaxis(
+        jnp.concatenate([first_start_log[None], r_later], axis=0), 0, 2
+    ).reshape(m, b * P, q)
+    last_state = jnp.moveaxis(j_end, 0, 2).reshape(m, b * P)
+    return r0, last_state
+
+
 def _viterbi_outputs(first_start_log, log_A, Et, j_end, m, b, L, q, P):
     """Conditional delta passes + within-chunk backtraces (XLA path).
 
@@ -772,12 +801,9 @@ def _viterbi_outputs(first_start_log, log_A, Et, j_end, m, b, L, q, P):
     chunk's end.
     """
     # -- conditional forward pass per chunk -----------------------------------
-    onehot_prev = jax.nn.one_hot(j_end[:-1], q, dtype=Et.dtype)
-    r_later = jnp.einsum("pmbi,miq->pmbq", onehot_prev, log_A)  # A[j_end, :]
-    r_first = first_start_log[None]
-    r0 = jnp.moveaxis(
-        jnp.concatenate([r_first, r_later], axis=0), 0, 2
-    ).reshape(m, b * P, q)
+    r0, last_state = _conditional_viterbi_starts(
+        first_start_log, log_A, j_end
+    )
 
     def fwd_step(delta, e_t):
         new = maxmatmul(delta[..., None, :], log_A[:, None])[..., 0, :] + e_t
@@ -788,8 +814,6 @@ def _viterbi_outputs(first_start_log, log_A, Et, j_end, m, b, L, q, P):
     delta = jnp.concatenate([delta0[None], delta_rest], axis=0)  # (c, m, bP, q)
 
     # -- within-chunk backtrace ------------------------------------------------
-    last_state = jnp.moveaxis(j_end, 0, 2).reshape(m, b * P)  # (m, bP)
-
     def backstep(state, delta_prev):
         onehot = jax.nn.one_hot(state, q, dtype=delta_prev.dtype)
         acol = jnp.einsum("miq,mbq->mbi", log_A, onehot)  # A[:, state]
@@ -840,8 +864,10 @@ def log_likelihood(init, A, E, parallel_factor: int = 1) -> jax.Array:
 
     The training-loss path (``MsaHmmLayer.forward`` → loglik,
     ``MsaHMMLayer.py:180-208``). With ``parallel_factor > 1`` only the
-    summary pass and boundary combine run — no per-position outputs are
-    materialized.
+    summary pass and a prefix fold run — no per-position outputs are
+    materialized — and reverse-mode gradients use an analytic Baum-Welch
+    VJP (see :func:`_loglik_chunked_fast`); forward-mode differentiation
+    (``jax.jvp``/``jacfwd``) requires ``parallel_factor=1``.
     """
     if parallel_factor == 1:
         m, b, L, q = E.shape
@@ -895,9 +921,10 @@ def viterbi(init, A, E, parallel_factor: int = 1) -> jax.Array:
 
     A capability the reference only names (``MsaHmmCell.py:13``); required by
     BASELINE.json. ``parallel_factor == 1`` runs a sequential max-plus scan
-    with backpointer trace; ``parallel_factor > 1`` runs the chunked two-pass
-    max-plus engine (no backtrace — states recovered as
-    ``argmax(delta + psi)``), with O(L/P + log P) sequential depth.
+    with backpointer trace; ``parallel_factor > 1`` runs the chunked max-plus
+    engine — chunk-level backtrace over transfer operators, then per-chunk
+    conditional delta passes and within-chunk backtraces — with
+    O(L/P + log P) sequential depth and a valid-optimal-path guarantee.
     """
     if parallel_factor == 1:
         return _viterbi_seq(init, A, E)

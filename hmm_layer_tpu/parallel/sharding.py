@@ -555,8 +555,16 @@ def seq_sharded_viterbi(
             keepdims=False,
         )
 
-        # Intra-device decode conditioned on the boundary states.
-        T = _viterbi_boundaries(v_enter, C_T)
+        # Intra-device decode conditioned on the boundary states. T must be
+        # computed from a start vector MASKED to the decoded entry state
+        # (not the unconditional v_enter): under f32 near-ties the chunk
+        # chain could otherwise be optimal for a different entry state than
+        # the one the first chunk's delta pass is conditioned on, breaking
+        # the valid-splice guarantee at the device boundary.
+        entry_onehot = jax.nn.one_hot(j_enter, q, dtype=v_enter.dtype)
+        v_masked = jnp.where(entry_onehot > 0, v_enter, -1e30)
+        v_start = jnp.where(idx == 0, log_init_b, v_masked)
+        T = _viterbi_boundaries(v_start, C_T)
         j_end = _boundary_backtrace(T, C_T, j_last=j_exit)
         enter_row = jnp.einsum(
             "miq,mbi->mbq", log_A, jax.nn.one_hot(j_enter, q, dtype=log_A.dtype)

@@ -205,6 +205,13 @@ class TestGradients:
 
             monkeypatch.setattr(pallas_viterbi, "FORCE_INTERPRET", True)
         init, A, E = random_hmm(RNG, q=6, L=24, b=3)
+        # Structurally-forbidden transitions (gene-pred/Plan7 grammars have
+        # many): A is unclamped in the recursion, so even exact zeros carry
+        # their true nonzero gradient — the analytic VJP must match.
+        A = A.copy()
+        A[0, 3] = 0.0
+        A[4, 1] = 0.0
+        A = A / A.sum(-1, keepdims=True)
         ini, Aj, Ej = _stack(init, A, E)
         ct = jnp.asarray(
             np.random.default_rng(1).normal(size=(1, 3)).astype(np.float32)
