@@ -284,3 +284,34 @@ class TestMultiModelPadding:
         ll = recursion.log_likelihood(*_stack(init, A, E))
         ll_p = recursion.log_likelihood(*_stack(init_p, A_p, E_p), parallel_factor=4)
         np.testing.assert_allclose(ll, ll_p, rtol=1e-4)
+
+
+class TestStreaming:
+    def test_blockwise_matches_dense(self):
+        from hmm_layer_tpu import streaming
+
+        init, A, E = random_hmm(RNG, q=6, L=96, b=3)
+        ini, Aj, Ej = _stack(init, A, E)
+        ll_ref = recursion.log_likelihood(ini, Aj, Ej)
+        la_ref, _ = recursion.forward(ini, Aj, Ej)
+
+        st = streaming.streaming_init(ini, Aj, Ej[:, :, :32], parallel_factor=4)
+        st = streaming.streaming_update(st, ini, Aj, Ej[:, :, 32:80], parallel_factor=4)
+        st = streaming.streaming_update(st, ini, Aj, Ej[:, :, 80:])
+        np.testing.assert_allclose(
+            np.asarray(streaming.streaming_log_likelihood(st)),
+            np.asarray(ll_ref),
+            rtol=1e-4,
+        )
+        # Carried vector == dense log-forward at the last position; the
+        # filtered distribution normalizes.
+        np.testing.assert_allclose(
+            np.asarray(st.log_v),
+            np.asarray(la_ref[:, :, -1]),
+            rtol=1e-3,
+            atol=2e-3,
+        )
+        f = streaming.streaming_filter_log_probs(st)
+        np.testing.assert_allclose(
+            np.asarray(jax.nn.logsumexp(f, axis=-1)), 0.0, atol=1e-5
+        )
