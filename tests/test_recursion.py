@@ -177,8 +177,12 @@ class TestViterbi:
 
         g1 = jax.grad(lambda e: loss(e, 1))(Ej)
         gP = jax.grad(lambda e: loss(e, 8))(Ej)
+        # The chunked path uses the analytic adjoint VJP; its f32 noise is
+        # ~1e-4 of the gradient scale (measured vs an f64 oracle — autodiff
+        # itself sits at ~1e-5), so compare scale-normalized.
+        scale = np.abs(np.asarray(g1)).max()
         np.testing.assert_allclose(
-            np.asarray(gP), np.asarray(g1), rtol=2e-3, atol=2e-3
+            np.asarray(gP) / scale, np.asarray(g1) / scale, atol=5e-4
         )
 
     def test_pallas_dispatch_matches_sequential(self, monkeypatch):
