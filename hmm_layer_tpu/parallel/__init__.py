@@ -2,6 +2,7 @@
 
 from .sharding import (
     data_parallel_fn,
+    init_distributed,
     make_mesh,
     replicate,
     seq_sharded_log_likelihood,
@@ -13,6 +14,7 @@ from .sharding import (
 )
 
 __all__ = [
+    "init_distributed",
     "make_mesh",
     "shard_batch",
     "replicate",

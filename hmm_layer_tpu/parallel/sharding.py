@@ -47,6 +47,7 @@ from ..ops.semiring import logmatmul, maxmatmul
 _PRECISION = lax.Precision.HIGHEST
 
 __all__ = [
+    "init_distributed",
     "make_mesh",
     "shard_batch",
     "replicate",
@@ -57,6 +58,19 @@ __all__ = [
     "seq_sharded_posterior",
     "seq_sharded_viterbi",
 ]
+
+
+def init_distributed(**kwargs) -> None:
+    """Initialize multi-host JAX (TPU pod slices).
+
+    Thin wrapper over ``jax.distributed.initialize`` — on TPU pods the
+    coordinator address, process count and process id are discovered from
+    the environment, so call this with no arguments before any backend use;
+    kwargs pass through for manual setups. After initialization,
+    :func:`make_mesh` over ``jax.devices()`` spans all hosts and the
+    sharded functions below run with ICI/DCN collectives unchanged.
+    """
+    jax.distributed.initialize(**kwargs)
 
 
 def make_mesh(axis_sizes: dict[str, int], devices=None) -> Mesh:
