@@ -16,11 +16,12 @@ from .ops.recursion import (
 )
 from .layer import HMMLayer
 from .training import Trainer
-from . import models, streaming, utils
+from . import data, models, streaming, utils
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "data",
     "streaming",
     "ForwardResult",
     "HMMLayer",
