@@ -440,7 +440,10 @@ def _posterior_chunked_pallas(init, A, E, P, no_loglik):
     )[:, :q, :R]  # (c, q, R)
 
     lg = jnp.moveaxis(log_gamma, (0, 1, 2), (1, 2, 0))  # (R, c, q)
-    return lg.reshape(m, b, L, q), ll
+    la_mb = jnp.moveaxis(log_alpha[:, :q, :R], (0, 1, 2), (1, 2, 0)).reshape(
+        m, b, L, q
+    )
+    return lg.reshape(m, b, L, q), ll, la_mb
 
 
 def _posterior_chunked_xla(init, A, E, P, no_loglik):
@@ -451,7 +454,7 @@ def _posterior_chunked_xla(init, A, E, P, no_loglik):
     log_gamma = la + lb
     if not no_loglik:
         log_gamma = log_gamma - ll[..., None, None]
-    return log_gamma, ll
+    return log_gamma, ll, la
 
 
 def _chunked_affine_reverse(B, u, v, cvec, P):
@@ -530,7 +533,23 @@ def _chunked_affine_reverse(B, u, v, cvec, P):
     return jnp.moveaxis(xs, 0, 2).reshape(m, b, L, q)
 
 
-def _posterior_analytic_vjp(init, A, E, P, no_loglik, ct, ct_ll_direct):
+def _posterior_vjp_residuals(init, A, E, P, no_loglik, saved=None):
+    """la, lb, ll for the adjoint pass — from saved primal outputs when
+    available (lb = lg - la [+ ll]), else one recompute."""
+    if saved is not None:
+        la, lg, ll = saved
+        lb = lg - la
+        if not no_loglik:
+            lb = lb + ll[..., None, None]
+        return la, lb, ll
+    C = _chunk_summaries_dispatch(init, A, E, P)
+    T, S, ll = _boundary_values(init, C)
+    la = _forward_outputs(init, A, E, T, P)
+    lb = _backward_outputs(A, E, S, P)
+    return la, lb, ll
+
+
+def _posterior_analytic_vjp(init, A, E, P, no_loglik, ct, ct_ll_direct, saved=None):
     """Analytic VJP of the chunked posterior (chunked adjoint scans).
 
     ``log_gamma = la + lb [- ll]``; the pullbacks are assembled from one
@@ -549,11 +568,7 @@ def _posterior_analytic_vjp(init, A, E, P, no_loglik, ct, ct_ll_direct):
     an f64 autodiff oracle at L=1200.
     """
     m, b, L, q = E.shape
-    # One summary pass serves both primal directions.
-    C = _chunk_summaries_dispatch(init, A, E, P)
-    T, S, ll = _boundary_values(init, C)
-    la = _forward_outputs(init, A, E, T, P)
-    lb = _backward_outputs(A, E, S, P)
+    la, lb, ll = _posterior_vjp_residuals(init, A, E, P, no_loglik, saved)
     log_E = jnp.log(_clamped(E))
     maskE = E >= EPS
     gam = jnp.exp(la + lb - ll[..., None, None])  # (m, b, L, q)
@@ -659,20 +674,26 @@ def _posterior_chunked_fast(init, A, E, P, no_loglik):
     """Chunked posterior (Pallas where supported) with analytic gradients.
 
     The VJP runs chunked adjoint recursions
-    (:func:`_posterior_analytic_vjp`) — reverse-mode only, like every
+    (:func:`_posterior_analytic_vjp`) over residuals saved from the primal
+    (log-forward comes out of the forward output pass; log-backward is
+    recovered as ``lg - la [+ ll]``) — reverse-mode only, like every
     custom_vjp (use ``parallel_factor=1`` for jax.jvp/jacfwd).
     """
-    return _posterior_chunked_primal(init, A, E, P, no_loglik)
+    lg, ll, _ = _posterior_chunked_primal(init, A, E, P, no_loglik)
+    return lg, ll
 
 
 def _posterior_fast_fwd(init, A, E, P, no_loglik):
-    return _posterior_chunked_primal(init, A, E, P, no_loglik), (init, A, E)
+    lg, ll, la = _posterior_chunked_primal(init, A, E, P, no_loglik)
+    return (lg, ll), (init, A, E, la, lg, ll)
 
 
 def _posterior_fast_bwd(P, no_loglik, res, cts):
-    init, A, E = res
+    init, A, E, la, lg, ll = res
     ct, ct_ll_direct = cts  # cotangents of (log_gamma, loglik)
-    return _posterior_analytic_vjp(init, A, E, P, no_loglik, ct, ct_ll_direct)
+    return _posterior_analytic_vjp(
+        init, A, E, P, no_loglik, ct, ct_ll_direct, saved=(la, lg, ll)
+    )
 
 
 _posterior_chunked_fast.defvjp(_posterior_fast_fwd, _posterior_fast_bwd)
