@@ -579,12 +579,12 @@ def _posterior_analytic_vjp(init, A, E, P, no_loglik, ct, ct_ll_direct, saved=No
     sig_tot = jnp.sum(sig, axis=-1)  # (m, b)
     ct_ll_eff = ct_ll_direct if no_loglik else ct_ll_direct - sig_tot
 
-    # --- centered adjoint of la (reverse-time affine recursion) --------------
-    # Terminal fold: the loglik output depends on la only via
-    # ll = LSE(la_{L-1}), adding ct_ll_eff * gamma_{L-1} at t = L-1.
-    # (The terminal ll-fold adds ct_ll_eff * gamma_{L-1} to the source; its
-    # centered part is identically zero, so it only enters via R below.)
-    src_bar = ct - gam * sig[..., None]
+    # --- centered adjoints of la and lb, solved as ONE batched call -----------
+    # la adjoint: reverse-time with maps diag(f) A diag(gbar); the terminal
+    # ll-fold (ll = LSE(la_{L-1})) adds ct_ll_eff * gamma_{L-1} to the
+    # source, whose centered part is identically zero — it enters only via
+    # the cumulative scalar R below.
+    src = ct - gam * sig[..., None]  # centered (same for both adjoints)
     s = jnp.max(la, axis=-1, keepdims=True)  # (m, b, L, 1)
     f = jnp.exp(la - s)
     # gbar_t = exp(e_{t+1} + s_t - la_{t+1}); zero at t = L-1 (x_L = 0).
@@ -595,18 +595,9 @@ def _posterior_analytic_vjp(init, A, E, P, no_loglik, ct, ct_ll_direct, saved=No
         ],
         axis=2,
     )
-    bhat = _chunked_affine_reverse(A, f, gbar, src_bar, P)
-    # Project out numerical drift along the growing gamma mode: the exact
-    # residual has zero sum (the maps conserve the sum functional), so any
-    # accumulated sum is f32 flow error riding the gamma direction.
-    bhat = bhat - gam * jnp.sum(bhat, axis=-1, keepdims=True)
-    # bar_t = gam_t * R_t + bhat_t, R_t = sum_{s>=t} sig_s + ct_ll_eff.
-    R = (
-        jnp.flip(jnp.cumsum(jnp.flip(sig, axis=-1), axis=-1), axis=-1)
-        + ct_ll_eff[..., None]
-    )  # (m, b, L)
-
-    # --- centered adjoint of lb (forward-time -> reverse on flipped axis) ----
+    # lb adjoint: forward-time with maps diag(gp) A^T diag(fp) — a reverse
+    # recursion on the flipped time axis. Stacking it as extra "models"
+    # (B = [A; A^T]) halves the scan count and doubles the matmul batch.
     elb = log_E + lb
     sp = jnp.max(elb, axis=-1, keepdims=True)  # s'_t
     # fp_t = exp(s'_t - lb_{t-1}); zero at t = 0.
@@ -620,13 +611,22 @@ def _posterior_analytic_vjp(init, A, E, P, no_loglik, ct, ct_ll_direct, saved=No
     gp = jnp.exp(elb - sp)
     A_T = jnp.swapaxes(A, -1, -2)
     flip = lambda x: jnp.flip(x, axis=2)
-    src_cb = ct - gam * sig[..., None]
-    chat = flip(
-        _chunked_affine_reverse(A_T, flip(gp), flip(fp), flip(src_cb), P)
-    )
+
+    B2 = jnp.concatenate([A, A_T], axis=0)
+    u2 = jnp.concatenate([f, flip(gp)], axis=0)
+    v2 = jnp.concatenate([gbar, flip(fp)], axis=0)
+    c2 = jnp.concatenate([src, flip(src)], axis=0)
+    x2 = _chunked_affine_reverse(B2, u2, v2, c2, P)
+    bhat, chat = x2[:m], flip(x2[m:])
+    # Project out numerical drift along the growing gamma mode: the exact
+    # residuals have zero sum (the maps conserve the sum functional), so any
+    # accumulated sum is f32 flow error riding the gamma direction.
+    bhat = bhat - gam * jnp.sum(bhat, axis=-1, keepdims=True)
     chat = chat - gam * jnp.sum(chat, axis=-1, keepdims=True)
-    # cb_t = gam_t * S_t + chat_t, S_t = sum_{s<=t} sig_s (S enters only
-    # through the closed forms below).
+    # bar_t = gam_t * R_t + bhat_t with R_t = sum_{s>=t} sig_s + ct_ll_eff;
+    # cb_t = gam_t * S_t + chat_t with S_t = sum_{s<=t} sig_s. R and S enter
+    # only through the closed forms below (K, R0, kappa) — the large
+    # cumulative parts are never materialized against each other.
 
     # --- assemble --------------------------------------------------------------
     # bar + cb - ct = gam*(R + S) + bhat + chat - ct, with the closed form
