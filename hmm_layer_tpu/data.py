@@ -67,24 +67,50 @@ def read_fasta(path) -> Iterator[tuple[str, str]]:
         yield name, "".join(parts)
 
 
+def _dna_lut() -> np.ndarray:
+    """(256, 5) byte -> channel-distribution lookup table."""
+    lut = np.zeros((256, 5), np.float32)
+    lut[:, 4] = 1.0  # default: treat unknown bytes as N
+    for j, ch in enumerate(_DNA):
+        for c in (ch, ch.lower()):
+            lut[ord(c)] = 0.0
+            lut[ord(c), j] = 1.0
+    for code, bases in _IUPAC.items():
+        if code == "N":
+            continue
+        row = np.zeros(5, np.float32)
+        for bb in bases:
+            row[_DNA.index(bb)] = 1.0 / len(bases)
+        lut[ord(code)] = lut[ord(code.lower())] = row
+    return lut
+
+
+_DNA_LUT = _dna_lut()
+
+
 def encode_dna(seq: str, dtype=np.float32) -> np.ndarray:
     """(L, 5) one-hot over ACGTN; IUPAC ambiguity codes spread uniformly.
 
-    Matches the gene-pred emitters' nucleotide channels
+    Vectorized (byte lookup table) — encodes ~100 Mbp contigs in well under
+    a second. Matches the gene-pred emitters' nucleotide channels
     (``ops.kmer`` treats channel 4, 'N', as a uniform 1/4 over ACGT).
     """
-    out = np.zeros((len(seq), 5), dtype)
-    for i, ch in enumerate(seq.upper()):
-        j = _DNA.find(ch)
-        if j >= 0:
-            out[i, j] = 1.0
-        elif ch == "N" or ch not in _IUPAC:
-            out[i, 4] = 1.0
-        else:
-            bases = _IUPAC[ch]
-            for bb in bases:
-                out[i, _DNA.index(bb)] = 1.0 / len(bases)
-    return out
+    idx = np.frombuffer(seq.encode("ascii"), np.uint8)
+    return _DNA_LUT[idx].astype(dtype, copy=False)
+
+
+def _protein_lut(alphabet: str) -> np.ndarray:
+    s = len(alphabet) + 1
+    lut = np.zeros((256, s), np.float32)
+    # Unknown letters spread uniformly over the canonical channels (the
+    # first min(20, len(alphabet)) entries of the given alphabet).
+    n_canon = min(20, len(alphabet))
+    lut[:, :n_canon] = 1.0 / n_canon
+    for j, ch in enumerate(alphabet):
+        for c in (ch.upper(), ch.lower()):
+            lut[ord(c)] = 0.0
+            lut[ord(c), j] = 1.0
+    return lut
 
 
 def encode_protein(
@@ -92,20 +118,23 @@ def encode_protein(
     dtype=np.float32,
 ) -> np.ndarray:
     """(L[+1], len(alphabet)+1) one-hot; unknown letters spread uniformly
-    over the 20 canonical channels; the terminal symbol (last channel) is
-    appended when ``add_terminal`` (profile-HMM convention)."""
-    s = len(alphabet) + 1
-    L = len(seq) + (1 if add_terminal else 0)
-    out = np.zeros((L, s), dtype)
-    for i, ch in enumerate(seq.upper()):
-        j = alphabet.find(ch)
-        if j >= 0:
-            out[i, j] = 1.0
-        else:
-            out[i, :20] = 1.0 / 20.0
+    over the alphabet's canonical channels; the terminal symbol (last
+    channel) is appended when ``add_terminal`` (profile-HMM convention)."""
+    lut = (
+        _PROTEIN_LUT
+        if alphabet == PROTEIN_ALPHABET
+        else _protein_lut(alphabet)
+    )
+    idx = np.frombuffer(seq.encode("ascii"), np.uint8)
+    out = lut[idx].astype(dtype, copy=False)
     if add_terminal:
-        out[-1, s - 1] = 1.0
+        term = np.zeros((1, out.shape[-1]), dtype)
+        term[0, -1] = 1.0
+        out = np.concatenate([out, term], axis=0)
     return out
+
+
+_PROTEIN_LUT = _protein_lut(PROTEIN_ALPHABET)
 
 
 def window_batches(
@@ -124,6 +153,8 @@ def window_batches(
     if overlap >= window:
         raise ValueError(f"overlap={overlap} must be < window={window}")
     L, s = encoded.shape
+    if L == 0:
+        return
     stride = window - overlap
     starts = list(range(0, max(L - overlap, 1), stride))
     buf, pos = [], []
@@ -153,27 +184,31 @@ def pad_batches(
 ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
     """Batch ragged sequences, padding with the terminal symbol.
 
-    Yields ``(batch (b, L_max, s), lengths (b,))`` per batch; short
+    Yields ``(batch (batch_size, L_max, s), lengths (batch_size,))``; short
     sequences continue emitting the terminal symbol (the profile HMM's
     absorbing terminal state makes the padded loglik equal the unpadded
-    one, learnMSA's convention).
+    one, learnMSA's convention). The final partial group is filled with
+    all-terminal rows (``length == 0``) so the leading dimension is always
+    ``batch_size`` — one jit compilation per ``L_max``.
     """
     group = []
     for e in encoded:
         group.append(e)
         if len(group) == batch_size:
-            yield _pad_group(group, terminal_channel)
+            yield _pad_group(group, batch_size, terminal_channel)
             group = []
     if group:
-        yield _pad_group(group, terminal_channel)
+        yield _pad_group(group, batch_size, terminal_channel)
 
 
-def _pad_group(group, terminal_channel):
+def _pad_group(group, batch_size, terminal_channel):
     s = group[0].shape[-1]
     L_max = max(g.shape[0] for g in group)
-    batch = np.zeros((len(group), L_max, s), group[0].dtype)
-    lengths = np.zeros((len(group),), np.int32)
+    batch = np.zeros((batch_size, L_max, s), group[0].dtype)
+    batch[:, :, terminal_channel] = 1.0  # batch-fill rows stay all-terminal
+    lengths = np.zeros((batch_size,), np.int32)
     for i, g in enumerate(group):
+        batch[i] = 0.0
         batch[i, : g.shape[0]] = g
         batch[i, g.shape[0] :, terminal_channel] = 1.0
         lengths[i] = g.shape[0]

@@ -533,23 +533,17 @@ def _chunked_affine_reverse(B, u, v, cvec, P):
     return jnp.moveaxis(xs, 0, 2).reshape(m, b, L, q)
 
 
-def _posterior_vjp_residuals(init, A, E, P, no_loglik, saved=None):
-    """la, lb, ll for the adjoint pass — from saved primal outputs when
-    available (lb = lg - la [+ ll]), else one recompute."""
-    if saved is not None:
-        la, lg, ll = saved
-        lb = lg - la
-        if not no_loglik:
-            lb = lb + ll[..., None, None]
-        return la, lb, ll
-    C = _chunk_summaries_dispatch(init, A, E, P)
-    T, S, ll = _boundary_values(init, C)
-    la = _forward_outputs(init, A, E, T, P)
-    lb = _backward_outputs(A, E, S, P)
+def _posterior_vjp_residuals(no_loglik, saved):
+    """la, lb, ll for the adjoint pass, recovered from the saved primal
+    outputs: lb = lg - la [+ ll]."""
+    la, lg, ll = saved
+    lb = lg - la
+    if not no_loglik:
+        lb = lb + ll[..., None, None]
     return la, lb, ll
 
 
-def _posterior_analytic_vjp(init, A, E, P, no_loglik, ct, ct_ll_direct, saved=None):
+def _posterior_analytic_vjp(init, A, E, P, no_loglik, ct, ct_ll_direct, saved):
     """Analytic VJP of the chunked posterior (chunked adjoint scans).
 
     ``log_gamma = la + lb [- ll]``; the pullbacks are assembled from one
@@ -568,7 +562,7 @@ def _posterior_analytic_vjp(init, A, E, P, no_loglik, ct, ct_ll_direct, saved=No
     an f64 autodiff oracle at L=1200.
     """
     m, b, L, q = E.shape
-    la, lb, ll = _posterior_vjp_residuals(init, A, E, P, no_loglik, saved)
+    la, lb, ll = _posterior_vjp_residuals(no_loglik, saved)
     log_E = jnp.log(_clamped(E))
     maskE = E >= EPS
     gam = jnp.exp(la + lb - ll[..., None, None])  # (m, b, L, q)
@@ -699,7 +693,7 @@ def _posterior_fast_bwd(P, no_loglik, res, cts):
 _posterior_chunked_fast.defvjp(_posterior_fast_fwd, _posterior_fast_bwd)
 
 
-def _chunk_summaries_dispatch(init, A, E, P):
+def _chunk_summaries_dispatch(A, E, P):
     m, b, L, q = E.shape
     if _use_pallas(q, m):
         E_T, c, R, R_pad = _pallas_chunk_inputs(E, P)
@@ -708,7 +702,7 @@ def _chunk_summaries_dispatch(init, A, E, P):
 
 
 def _loglik_chunked_primal(init, A, E, P):
-    C = _chunk_summaries_dispatch(init, A, E, P)
+    C = _chunk_summaries_dispatch(A, E, P)
     # Prefix-only fold — no suffix products (the fused prefix+suffix scan
     # in _boundary_values is not reliably DCE'd down to one direction).
     log_init = jnp.log(_clamped(init))
@@ -751,7 +745,7 @@ def _loglik_fast_fwd(init, A, E, P):
 def _loglik_fast_bwd(P, res, ct):
     init, A, E = res
     # One summary pass serves both directions.
-    C = _chunk_summaries_dispatch(init, A, E, P)
+    C = _chunk_summaries_dispatch(A, E, P)
     T, S, ll = _boundary_values(init, C)
     la = _forward_outputs(init, A, E, T, P)
     lb = _backward_outputs(A, E, S, P)

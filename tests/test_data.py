@@ -86,8 +86,16 @@ class TestRaggedBatching:
         # short sequence keeps emitting the terminal symbol
         assert batch[0, 3:, -1].all()
 
+    def test_partial_group_filled_to_batch_size(self):
+        seqs = [data.encode_protein("AR")]
+        (batch, lengths), = data.pad_batches(seqs, batch_size=3)
+        assert batch.shape[0] == 3
+        np.testing.assert_array_equal(lengths, [3, 0, 0])
+        assert batch[1, :, -1].all() and batch[2, :, -1].all()
+
     def test_padded_loglik_invariant(self):
-        # The absorbing terminal state makes padded loglik equal unpadded.
+        # The absorbing terminal state makes padded loglik equal unpadded:
+        # the SHORT sequence of a ragged batch must score the same as alone.
         import jax
         from hmm_layer_tpu.layer import HMMLayer
         from hmm_layer_tpu.models import ProfileEmissions, ProfileTransitions
@@ -98,9 +106,11 @@ class TestRaggedBatching:
         s = len(data.PROTEIN_ALPHABET) + 1
         params = layer.init_params(jax.random.PRNGKey(0), input_dim=s)
         e_short = data.encode_protein("ARND")
-        (batch, _), = data.pad_batches([e_short, e_short], batch_size=2)
+        e_long = data.encode_protein("ARNDCQEG")
+        (batch, lengths), = data.pad_batches([e_short, e_long], batch_size=2)
+        assert batch.shape[1] == e_long.shape[0] > e_short.shape[0]
         ll_pad = layer.log_likelihood(params, batch[None])
         ll_ref = layer.log_likelihood(params, e_short[None, None])
         np.testing.assert_allclose(
-            np.asarray(ll_pad[0]), float(np.asarray(ll_ref[0, 0])), rtol=1e-4
+            np.asarray(ll_pad[0, 0]), float(np.asarray(ll_ref[0, 0])), rtol=1e-4
         )
