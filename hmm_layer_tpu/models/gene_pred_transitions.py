@@ -25,7 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .transition_utils import gather_edge_probs, masked_row_softmax_from_edges
+from .transition_utils import masked_row_softmax_from_edges
 
 __all__ = [
     "SimpleGenePredTransitions",

@@ -20,7 +20,6 @@ trained parameters via ``load_mixture_model`` (npz).
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from .dirichlet import DirichletMixture, dirichlet_log_pdf

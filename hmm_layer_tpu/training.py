@@ -14,11 +14,10 @@ optax-based trainer over :class:`hmm_layer_tpu.layer.HMMLayer` with
 
 from __future__ import annotations
 
-from typing import Callable, Iterable
+from typing import Iterable
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 import optax
 
 from .layer import HMMLayer

@@ -9,7 +9,6 @@ synchronization (the only reliable sync point on tunneled TPU transports).
 from __future__ import annotations
 
 import json
-import sys
 import time
 
 import numpy as np
