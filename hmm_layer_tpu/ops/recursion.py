@@ -457,6 +457,116 @@ def _posterior_chunked_xla(init, A, E, P, no_loglik):
     return log_gamma, ll, la
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _forward_chunked_fast(init, A, E, P):
+    """Chunked forward values with an analytic adjoint VJP.
+
+    Same memory argument as the loglik/posterior VJPs: autodiff through the
+    summary scan tapes O(L·q²); the adjoint of the log-forward recursion is
+    one chunked affine solve over O(L·q) residuals. Unlike the posterior
+    VJP no gamma-centering is needed — without the loglik normalization the
+    adjoint's O(L) growth is the true gradient magnitude, representable
+    directly in f32. Reverse-mode only (parallel_factor=1 for jvp/jacfwd).
+    """
+    return _forward_chunked_primal(init, A, E, P)
+
+
+def _forward_chunked_primal(init, A, E, P):
+    C = _chunk_summaries_dispatch(A, E, P)
+    T, _, ll = _boundary_values(init, C)
+    la = _forward_outputs(init, A, E, T, P)
+    return la, ll
+
+
+def _forward_fast_fwd(init, A, E, P):
+    la, ll = _forward_chunked_primal(init, A, E, P)
+    return (la, ll), (init, A, E, la, ll)
+
+
+def _forward_fast_bwd(P, res, cts):
+    init, A, E, la, ll = res
+    ct_la, ct_ll = cts
+    m, b, L, q = E.shape
+    log_E = jnp.log(_clamped(E))
+    maskE = E >= EPS
+
+    # Fold the loglik cotangent into the terminal source:
+    # ll = LSE(la_{L-1}) -> d ll / d la_{L-1} = softmax(la_{L-1}).
+    src = ct_la.at[:, :, L - 1].add(
+        ct_ll[..., None] * jnp.exp(la[:, :, L - 1] - ll[..., None])
+    )
+    s = jnp.max(la, axis=-1, keepdims=True)
+    f = jnp.exp(la - s)
+    gbar = jnp.concatenate(
+        [
+            jnp.exp(log_E[:, :, 1:] + s[:, :, :-1] - la[:, :, 1:]),
+            jnp.zeros((m, b, 1, q), E.dtype),
+        ],
+        axis=2,
+    )
+    bar = _chunked_affine_reverse(A, f, gbar, src, P)
+
+    gE = bar / _clamped(E) * maskE
+    ginit = jnp.sum(bar[:, :, 0], axis=1) / _clamped(init) * (init >= EPS)
+    csh = jnp.max(la[:, :, :-1], axis=-1, keepdims=True)
+    F = jnp.exp(la[:, :, :-1] - csh)
+    G = bar[:, :, 1:] * jnp.exp(log_E[:, :, 1:] - la[:, :, 1:] + csh)
+    gA = jnp.einsum("mbti,mbtj->mij", F, G, precision=_PRECISION)
+    return ginit, gA, gE
+
+
+_forward_chunked_fast.defvjp(_forward_fast_fwd, _forward_fast_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _backward_chunked_fast(init, A, E, P):
+    """Chunked backward values with an analytic adjoint VJP (see
+    :func:`_forward_chunked_fast`)."""
+    return _backward_chunked_primal(init, A, E, P)
+
+
+def _backward_chunked_primal(init, A, E, P):
+    C = _chunk_summaries_dispatch(A, E, P)
+    _, S, _ = _boundary_values(init, C)
+    return _backward_outputs(A, E, S, P)
+
+
+def _backward_fast_fwd(init, A, E, P):
+    lb = _backward_chunked_primal(init, A, E, P)
+    return lb, (init, A, E, lb)
+
+
+def _backward_fast_bwd(P, res, ct):
+    init, A, E, lb = res
+    m, b, L, q = E.shape
+    log_E = jnp.log(_clamped(E))
+    maskE = E >= EPS
+
+    elb = log_E + lb
+    sp = jnp.max(elb, axis=-1, keepdims=True)
+    fp = jnp.concatenate(
+        [
+            jnp.zeros((m, b, 1, q), E.dtype),
+            jnp.exp(sp[:, :, 1:] - lb[:, :, :-1]),
+        ],
+        axis=2,
+    )
+    gp = jnp.exp(elb - sp)
+    A_T = jnp.swapaxes(A, -1, -2)
+    flip = lambda x: jnp.flip(x, axis=2)
+    cb = flip(_chunked_affine_reverse(A_T, flip(gp), flip(fp), flip(ct), P))
+    cbhat = cb - ct
+
+    gE = cbhat / _clamped(E) * maskE
+    Fp = cb[:, :, :-1] * jnp.exp(sp[:, :, 1:] - lb[:, :, :-1])
+    Gp = jnp.exp(elb[:, :, 1:] - sp[:, :, 1:])
+    gA = jnp.einsum("mbti,mbtj->mij", Fp, Gp, precision=_PRECISION)
+    return jnp.zeros_like(init), gA, gE
+
+
+_backward_chunked_fast.defvjp(_backward_fast_fwd, _backward_fast_bwd)
+
+
 def _chunked_affine_reverse(B, u, v, cvec, P):
     """Chunked solve of ``x_t = cvec_t + u_t * (B @ (v_t * x_{t+1}))``.
 
@@ -1050,9 +1160,7 @@ def forward(init, A, E, parallel_factor: int = 1) -> ForwardResult:
     if parallel_factor == 1:
         la, ll = _forward_seq(init, A, E)
         return ForwardResult(la, ll)
-    C, _ = _chunk_summaries(A, E, parallel_factor)
-    T, _, ll = _boundary_values(init, C)
-    la = _forward_outputs(init, A, E, T, parallel_factor)
+    la, ll = _forward_chunked_fast(init, A, E, parallel_factor)
     return ForwardResult(la, ll)
 
 
@@ -1063,9 +1171,7 @@ def backward(init, A, E, parallel_factor: int = 1) -> jax.Array:
     """
     if parallel_factor == 1:
         return _backward_seq(A, E)
-    C, _ = _chunk_summaries(A, E, parallel_factor)
-    _, S, _ = _boundary_values(init, C)
-    return _backward_outputs(A, E, S, parallel_factor)
+    return _backward_chunked_fast(init, A, E, parallel_factor)
 
 
 def log_likelihood(init, A, E, parallel_factor: int = 1) -> jax.Array:

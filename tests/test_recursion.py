@@ -234,6 +234,40 @@ class TestGradients:
                 np.asarray(a), np.asarray(r), rtol=2e-3, atol=2e-4
             )
 
+    @pytest.mark.parametrize("force_pallas", [False, True])
+    def test_chunked_forward_backward_vjp(self, monkeypatch, force_pallas):
+        # forward()/backward() chunked also carry analytic adjoint VJPs.
+        if force_pallas:
+            from hmm_layer_tpu.ops import pallas_viterbi
+
+            monkeypatch.setattr(pallas_viterbi, "FORCE_INTERPRET", True)
+        init, A, E = random_hmm(RNG, q=6, L=24, b=2)
+        ini, Aj, Ej = _stack(init, A, E)
+        w = jnp.asarray(
+            np.random.default_rng(2).normal(size=(1, 2, 24, 6)).astype(np.float32)
+        )
+
+        def f_loss(pf):
+            def inner(i, a, e):
+                la, ll = recursion.forward(i, a, e, pf)
+                return jnp.sum(la * w) + 0.3 * jnp.sum(ll)
+
+            return jax.grad(inner, argnums=(0, 1, 2))(ini, Aj, Ej)
+
+        def b_loss(pf):
+            def inner(i, a, e):
+                return jnp.sum(recursion.backward(i, a, e, pf) * w)
+
+            return jax.grad(inner, argnums=(0, 1, 2))(ini, Aj, Ej)
+
+        for fn in (f_loss, b_loss):
+            g1, gP = fn(1), fn(4)
+            for a, r in zip(gP, g1):
+                scale = np.abs(np.asarray(r)).max() + 1e-9
+                np.testing.assert_allclose(
+                    np.asarray(a) / scale, np.asarray(r) / scale, atol=5e-4
+                )
+
     def test_loglik_grad_matches_fd(self):
         init, A, E = random_hmm(RNG, q=3, L=8, b=1)
 
