@@ -79,7 +79,11 @@ def decode_contig(layer, params, encoded, window, batch, overlap=0):
             if st < 0:
                 continue
             end = min(st + window, L)
-            track[st:end] = paths[i, : end - st]
+            # Keep the PREVIOUS window's decode in the overlap region — it
+            # has left context there; this window's first `overlap`
+            # positions restart from the initial distribution.
+            lo = st + overlap if st > 0 else st
+            track[lo:end] = paths[i, lo - st : end - st]
     return track
 
 

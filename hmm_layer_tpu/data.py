@@ -92,10 +92,10 @@ def encode_dna(seq: str, dtype=np.float32) -> np.ndarray:
     """(L, 5) one-hot over ACGTN; IUPAC ambiguity codes spread uniformly.
 
     Vectorized (byte lookup table) — encodes ~100 Mbp contigs in well under
-    a second. Matches the gene-pred emitters' nucleotide channels
+    a second. Non-ASCII bytes degrade to the 'N' channel. Matches the gene-pred emitters' nucleotide channels
     (``ops.kmer`` treats channel 4, 'N', as a uniform 1/4 over ACGT).
     """
-    idx = np.frombuffer(seq.encode("ascii"), np.uint8)
+    idx = np.frombuffer(seq.encode("ascii", errors="replace"), np.uint8)
     return _DNA_LUT[idx].astype(dtype, copy=False)
 
 
@@ -125,7 +125,7 @@ def encode_protein(
         if alphabet == PROTEIN_ALPHABET
         else _protein_lut(alphabet)
     )
-    idx = np.frombuffer(seq.encode("ascii"), np.uint8)
+    idx = np.frombuffer(seq.encode("ascii", errors="replace"), np.uint8)
     out = lut[idx].astype(dtype, copy=False)
     if add_terminal:
         term = np.zeros((1, out.shape[-1]), dtype)

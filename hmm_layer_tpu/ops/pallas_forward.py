@@ -11,9 +11,8 @@ q=15, b=32, L=9999, P=99 on TPU v5e.
 Numerics mirror the scaled recursions of the reference
 (``MsaHmmCell.py:87-103``): linear-space carries rescaled every step, a
 log-scale accumulator per lane, log-space outputs. The kernels are forward
-(inference) only — gradients are provided by ``ops.recursion`` routing the
-backward pass through its differentiable XLA implementation via
-``jax.custom_vjp``.
+(primal) only — gradients are provided by ``ops.recursion``'s analytic
+``jax.custom_vjp`` adjoints.
 
 Layouts (R = b * P chunk elements, padded to br):
 

@@ -356,8 +356,8 @@ def _backward_outputs(A, E, S, parallel_factor):
 
 # ---------------------------------------------------------------------------
 # Pallas fast path for the sum-product chunked pipeline (inference-speed
-# posterior/log-likelihood; gradients route through the XLA implementation
-# via jax.custom_vjp — see _posterior_chunked_fast below).
+# posterior/log-likelihood; gradients are analytic custom_vjp adjoints —
+# see _loglik_chunked_fast / _posterior_chunked_fast below).
 # ---------------------------------------------------------------------------
 
 
@@ -457,6 +457,68 @@ def _posterior_chunked_xla(init, A, E, P, no_loglik):
     return log_gamma, ll, la
 
 
+
+def _forward_adjoint_weights(la, log_E):
+    """(u, v) diagonals of the log-forward adjoint maps ``diag(u) A diag(v)``.
+
+    ``v`` (gbar) is pre-shifted by one step and zeroed at t = L-1 (terminal
+    condition x_L = 0). These softmax-weight constructions are the
+    numerically sensitive core of every analytic VJP — keep single-sourced.
+    """
+    m, b, L, q = la.shape
+    s = jnp.max(la, axis=-1, keepdims=True)
+    f = jnp.exp(la - s)
+    gbar = jnp.concatenate(
+        [
+            jnp.exp(log_E[:, :, 1:] + s[:, :, :-1] - la[:, :, 1:]),
+            jnp.zeros((m, b, 1, q), la.dtype),
+        ],
+        axis=2,
+    )
+    return f, gbar
+
+
+def _backward_adjoint_weights(lb, log_E):
+    """(u, v) diagonals of the log-backward adjoint maps (time-flipped use).
+
+    Returns (fp, gp, sp, elb); ``fp`` is zero at t = 0.
+    """
+    m, b, L, q = lb.shape
+    elb = log_E + lb
+    sp = jnp.max(elb, axis=-1, keepdims=True)
+    fp = jnp.concatenate(
+        [
+            jnp.zeros((m, b, 1, q), lb.dtype),
+            jnp.exp(sp[:, :, 1:] - lb[:, :, :-1]),
+        ],
+        axis=2,
+    )
+    gp = jnp.exp(elb - sp)
+    return fp, gp, sp, elb
+
+
+def _forward_gA_factors(la, log_E):
+    """Balanced-shift factors for the xi-style gA einsum of the la adjoint:
+    ``gA = einsum(F, x[1:] * exp(log_E - la + csh)[1:])``."""
+    csh = jnp.max(la[:, :, :-1], axis=-1, keepdims=True)
+    F = jnp.exp(la[:, :, :-1] - csh)
+
+    def G_of(x):
+        return x[:, :, 1:] * jnp.exp(log_E[:, :, 1:] - la[:, :, 1:] + csh)
+
+    return F, G_of, csh
+
+
+def _backward_gA_factors(lb, sp, elb):
+    """Balanced-shift factors for the gA einsum of the lb adjoint."""
+
+    def Fp_of(x):
+        return x[:, :, :-1] * jnp.exp(sp[:, :, 1:] - lb[:, :, :-1])
+
+    Gp = jnp.exp(elb[:, :, 1:] - sp[:, :, 1:])
+    return Fp_of, Gp
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _forward_chunked_fast(init, A, E, P):
     """Chunked forward values with an analytic adjoint VJP.
@@ -495,23 +557,13 @@ def _forward_fast_bwd(P, res, cts):
     src = ct_la.at[:, :, L - 1].add(
         ct_ll[..., None] * jnp.exp(la[:, :, L - 1] - ll[..., None])
     )
-    s = jnp.max(la, axis=-1, keepdims=True)
-    f = jnp.exp(la - s)
-    gbar = jnp.concatenate(
-        [
-            jnp.exp(log_E[:, :, 1:] + s[:, :, :-1] - la[:, :, 1:]),
-            jnp.zeros((m, b, 1, q), E.dtype),
-        ],
-        axis=2,
-    )
+    f, gbar = _forward_adjoint_weights(la, log_E)
     bar = _chunked_affine_reverse(A, f, gbar, src, P)
 
     gE = bar / _clamped(E) * maskE
     ginit = jnp.sum(bar[:, :, 0], axis=1) / _clamped(init) * (init >= EPS)
-    csh = jnp.max(la[:, :, :-1], axis=-1, keepdims=True)
-    F = jnp.exp(la[:, :, :-1] - csh)
-    G = bar[:, :, 1:] * jnp.exp(log_E[:, :, 1:] - la[:, :, 1:] + csh)
-    gA = jnp.einsum("mbti,mbtj->mij", F, G, precision=_PRECISION)
+    F, G_of, _ = _forward_gA_factors(la, log_E)
+    gA = jnp.einsum("mbti,mbtj->mij", F, G_of(bar), precision=_PRECISION)
     return ginit, gA, gE
 
 
@@ -542,25 +594,15 @@ def _backward_fast_bwd(P, res, ct):
     log_E = jnp.log(_clamped(E))
     maskE = E >= EPS
 
-    elb = log_E + lb
-    sp = jnp.max(elb, axis=-1, keepdims=True)
-    fp = jnp.concatenate(
-        [
-            jnp.zeros((m, b, 1, q), E.dtype),
-            jnp.exp(sp[:, :, 1:] - lb[:, :, :-1]),
-        ],
-        axis=2,
-    )
-    gp = jnp.exp(elb - sp)
+    fp, gp, sp, elb = _backward_adjoint_weights(lb, log_E)
     A_T = jnp.swapaxes(A, -1, -2)
     flip = lambda x: jnp.flip(x, axis=2)
     cb = flip(_chunked_affine_reverse(A_T, flip(gp), flip(fp), flip(ct), P))
     cbhat = cb - ct
 
     gE = cbhat / _clamped(E) * maskE
-    Fp = cb[:, :, :-1] * jnp.exp(sp[:, :, 1:] - lb[:, :, :-1])
-    Gp = jnp.exp(elb[:, :, 1:] - sp[:, :, 1:])
-    gA = jnp.einsum("mbti,mbtj->mij", Fp, Gp, precision=_PRECISION)
+    Fp_of, Gp = _backward_gA_factors(lb, sp, elb)
+    gA = jnp.einsum("mbti,mbtj->mij", Fp_of(cb), Gp, precision=_PRECISION)
     return jnp.zeros_like(init), gA, gE
 
 
@@ -702,17 +744,7 @@ def _posterior_analytic_vjp(init, A, E, P, no_loglik, ct, ct_ll_direct, saved):
     # lb adjoint: forward-time with maps diag(gp) A^T diag(fp) — a reverse
     # recursion on the flipped time axis. Stacking it as extra "models"
     # (B = [A; A^T]) halves the scan count and doubles the matmul batch.
-    elb = log_E + lb
-    sp = jnp.max(elb, axis=-1, keepdims=True)  # s'_t
-    # fp_t = exp(s'_t - lb_{t-1}); zero at t = 0.
-    fp = jnp.concatenate(
-        [
-            jnp.zeros((m, b, 1, q), E.dtype),
-            jnp.exp(sp[:, :, 1:] - lb[:, :, :-1]),
-        ],
-        axis=2,
-    )
-    gp = jnp.exp(elb - sp)
+    fp, gp, sp, elb = _backward_adjoint_weights(lb, log_E)
     A_T = jnp.swapaxes(A, -1, -2)
     flip = lambda x: jnp.flip(x, axis=2)
 
@@ -749,19 +781,16 @@ def _posterior_analytic_vjp(init, A, E, P, no_loglik, ct, ct_ll_direct, saved):
     # gA: the gamma parts of both adjoints reduce to the Baum-Welch xi
     # statistic weighted by the constant R_t + S_{t-1} = K_t - sig_t.
     kappa = ct_ll_direct + (sig_tot if no_loglik else 0.0)  # (m, b)
-    csh = jnp.max(la[:, :, :-1], axis=-1, keepdims=True)
-    F = jnp.exp(la[:, :, :-1] - csh)
+    F, G_of, csh = _forward_gA_factors(la, log_E)
     xi_u = (
         jnp.exp(lb[:, :, 1:] + log_E[:, :, 1:] - ll[..., None, None] + csh)
         * kappa[..., None, None]
     )
-    G = bhat[:, :, 1:] * jnp.exp(log_E[:, :, 1:] - la[:, :, 1:] + csh)
     # Residual of the lb adjoint only — its gamma*S part is inside kappa.
-    Fp = chat[:, :, :-1] * jnp.exp(sp[:, :, 1:] - lb[:, :, :-1])
-    Gp = jnp.exp(elb[:, :, 1:] - sp[:, :, 1:])
+    Fp_of, Gp = _backward_gA_factors(lb, sp, elb)
     gA = (
-        jnp.einsum("mbti,mbtj->mij", F, xi_u + G, precision=_PRECISION)
-        + jnp.einsum("mbti,mbtj->mij", Fp, Gp, precision=_PRECISION)
+        jnp.einsum("mbti,mbtj->mij", F, xi_u + G_of(bhat), precision=_PRECISION)
+        + jnp.einsum("mbti,mbtj->mij", Fp_of(chat), Gp, precision=_PRECISION)
     )
     return ginit, gA, gE
 

@@ -113,10 +113,11 @@ class TestUtilityParity:
         import Utility as ref_util
         from hmm_layer_tpu.utils import substitution
 
-        ref_lines = ref_util.LG_paml
+        if not hasattr(ref_util, "alphabet"):
+            pytest.skip("reference Utility exposes no alphabet")
         R_ref, p_ref = ref_util.parse_paml(
-            ref_lines[:-1], ref_util.alphabet[:20]
-        ) if hasattr(ref_util, "alphabet") else (None, None)
-        R, p = substitution.lg_matrix()
-        if R_ref is not None:
-            np.testing.assert_allclose(np.asarray(p), np.asarray(p_ref), rtol=1e-6)
+            ref_util.LG_paml[:-1], ref_util.alphabet[:20]
+        )
+        R, p = substitution.lg_matrix(desired_alphabet=ref_util.alphabet[:20])
+        np.testing.assert_allclose(np.asarray(p), np.asarray(p_ref), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(R), np.asarray(R_ref), rtol=1e-6)
