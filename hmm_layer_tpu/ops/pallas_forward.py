@@ -37,7 +37,7 @@ from .pallas_viterbi import PAD, choose_block_r, supported  # shared tiling
 __all__ = [
     "sum_chunk_summaries",
     "sum_fwd_outputs",
-    "gamma_bwd_outputs",
+    "beta_bwd_outputs",
     "supported",
 ]
 
@@ -199,15 +199,15 @@ def _sum_fwd_kernel(c: int, q: int, br: int, A_ref, r0_ref, l0_ref, e_ref, out_r
     out_ref[0] = jnp.log(jnp.maximum(AL[:, :], _TINY)) + LL[:, :]
 
 
-def _gamma_bwd_kernel(
-    c: int, q: int, br: int, A_ref, b0_ref, l0_ref, lt_ref, e_ref, la_ref, out_ref, BE, LL
+def _beta_bwd_kernel(
+    c: int, q: int, br: int, A_ref, b0_ref, l0_ref, e_ref, out_ref, BE, LL
 ):
-    """Scaled backward pass fused with the posterior combine.
+    """Scaled backward output pass: emits log beta at every position.
 
-    Emits ``log gamma_t = log alpha_t + log beta_t - loglik`` directly;
-    reverse-time grid via index maps. ``e_ref`` streams e_{t+1}; ``la_ref``
-    streams log alpha_t; lt_ref is the per-lane total log-likelihood (0 for
-    the ``no_loglik`` variant).
+    Reverse-time grid via index maps; ``e_ref`` streams e_{t+1}. (The
+    posterior combine ``la + lb - ll`` happens in XLA — streaming log_alpha
+    through the kernel as a third HBM input measured slower than one fused
+    elementwise pass outside.)
     """
     g = pl.program_id(1)
 
@@ -232,12 +232,7 @@ def _gamma_bwd_kernel(
         BE[:, :] = s / z
         LL[:, :] = LL[:, :] + jnp.log(z)
 
-    out_ref[0] = (
-        jnp.log(jnp.maximum(BE[:, :], _TINY))
-        + LL[:, :]
-        + la_ref[0]
-        - lt_ref[:, :]
-    )
+    out_ref[0] = jnp.log(jnp.maximum(BE[:, :], _TINY)) + LL[:, :]
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -294,20 +289,17 @@ def sum_fwd_outputs(A, E_T, r0, ll0, interpret: bool = False):
 
 
 @partial(jax.jit, static_argnames=("interpret",))
-def gamma_bwd_outputs(A, E_T, beta0, ll0, ll_tot, log_alpha, interpret=False):
-    """Per-position log-posterior from per-chunk backward boundary starts.
+def beta_bwd_outputs(A, E_T, beta0, ll0, interpret=False):
+    """Per-position log-backward from per-chunk backward boundary starts.
 
     Args:
         A: (q, q) linear transition matrix.
         E_T: (c, q, R) linear emissions.
         beta0: (q, R) scaled backward value at each chunk's last position.
         ll0: (R,) its log-mass.
-        ll_tot: (R,) per-lane total log-likelihood to subtract (pass zeros
-            for the ``no_loglik`` variant).
-        log_alpha: (c, PAD, R) from :func:`sum_fwd_outputs`.
 
     Returns:
-        log_gamma: (c, PAD, R) — rows >= q are garbage (sliced by caller).
+        log_beta: (c, PAD, R) — rows >= q are garbage (sliced by caller).
     """
     c, q, R = E_T.shape
     br = choose_block_r(R)
@@ -318,11 +310,10 @@ def gamma_bwd_outputs(A, E_T, beta0, ll0, ll_tot, log_alpha, interpret=False):
         E_pad = jnp.pad(E_T, ((0, 0), (0, PAD - q), (0, 0)))
     b0_pad = jnp.pad(beta0, ((0, PAD - q), (0, 0)))
     l0 = ll0[None].astype(jnp.float32)
-    lt = ll_tot[None].astype(jnp.float32)
 
     grid = (R // br, c)
     return pl.pallas_call(
-        partial(_gamma_bwd_kernel, c, q, br),
+        partial(_beta_bwd_kernel, c, q, br),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # A scalars (A[p, k])
@@ -333,17 +324,9 @@ def gamma_bwd_outputs(A, E_T, beta0, ll0, ll_tot, log_alpha, interpret=False):
                 (1, br), lambda j, g: (0, j), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, br), lambda j, g: (0, j), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
                 (1, PAD, br),
                 # e_{t+1} with t = c-1-g; block 0 is unused at g == 0.
                 lambda j, g: ((c - g) % c, 0, j),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, PAD, br),
-                lambda j, g: (c - 1 - g, 0, j),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -358,4 +341,4 @@ def gamma_bwd_outputs(A, E_T, beta0, ll0, ll_tot, log_alpha, interpret=False):
             pltpu.VMEM((1, br), jnp.float32),
         ],
         interpret=interpret,
-    )(A_pad, b0_pad, l0, lt, E_pad, log_alpha)
+    )(A_pad, b0_pad, l0, E_pad)

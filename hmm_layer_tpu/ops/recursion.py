@@ -424,20 +424,18 @@ def _posterior_chunked_pallas(init, A, E, P, no_loglik):
     S_flat = jnp.moveaxis(S, 0, 2).reshape(m, b * P, q)
     ll0b = jnp.max(S_flat, axis=-1)
     beta0 = jnp.exp(S_flat - ll0b[..., None])
-    ll_lane = (
-        jnp.zeros((R,), E.dtype)
-        if no_loglik
-        else jnp.broadcast_to(ll[0][:, None], (b, P)).reshape(R)
-    )
-    log_gamma = pallas_forward.gamma_bwd_outputs(
+    log_beta = pallas_forward.beta_bwd_outputs(
         A[0],
         E_T,
         _pad_lanes(jnp.swapaxes(beta0[0], 0, 1), R_pad, 1.0),
         _pad_lanes(ll0b[0], R_pad),
-        _pad_lanes(ll_lane, R_pad),
-        log_alpha,
         interpret=pallas_viterbi.FORCE_INTERPRET,
-    )[:, :q, :R]  # (c, q, R)
+    )
+    # Posterior combine in XLA (one fused elementwise pass).
+    log_gamma = (log_alpha + log_beta)[:, :q, :R]  # (c, q, R)
+    if not no_loglik:
+        ll_lane = jnp.broadcast_to(ll[0][:, None], (b, P)).reshape(R)
+        log_gamma = log_gamma - ll_lane[None, None, :]
 
     lg = jnp.moveaxis(log_gamma, (0, 1, 2), (1, 2, 0))  # (R, c, q)
     la_mb = jnp.moveaxis(log_alpha[:, :q, :R], (0, 1, 2), (1, 2, 0)).reshape(
