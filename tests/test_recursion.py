@@ -80,11 +80,24 @@ class TestPosterior:
         sums = jax.nn.logsumexp(lg, axis=-1)
         np.testing.assert_allclose(sums, np.zeros_like(sums), atol=1e-4)
 
-    def test_no_loglik(self):
+    @pytest.mark.parametrize("P", [1, 5])
+    def test_no_loglik(self, P):
         init, A, E = random_hmm(RNG, q=4, L=10, b=1)
-        lg, ll = recursion.posterior(*_stack(init, A, E), no_loglik=True)
-        lg2, _ = recursion.posterior(*_stack(init, A, E))
+        lg, ll = recursion.posterior(*_stack(init, A, E), parallel_factor=P, no_loglik=True)
+        lg2, _ = recursion.posterior(*_stack(init, A, E), parallel_factor=P)
         np.testing.assert_allclose(lg - ll[..., None, None], lg2, rtol=1e-4, atol=1e-5)
+
+    def test_no_loglik_pallas(self, monkeypatch):
+        from hmm_layer_tpu.ops import pallas_viterbi
+
+        monkeypatch.setattr(pallas_viterbi, "FORCE_INTERPRET", True)
+        init, A, E = random_hmm(RNG, q=8, L=12, b=2)
+        lg, ll = recursion.posterior(*_stack(init, A, E), parallel_factor=4, no_loglik=True)
+        lg1, ll1 = recursion.posterior(*_stack(init, A, E), parallel_factor=1, no_loglik=True)
+        np.testing.assert_allclose(np.asarray(ll), np.asarray(ll1), rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(lg), np.asarray(lg1), rtol=1e-3, atol=1e-3
+        )
 
 
 class TestChunkedParity:
