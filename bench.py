@@ -65,7 +65,7 @@ def main():
         compile_s = time.perf_counter() - t0
         np.asarray(run2(init, A, E))
         times = {K1: [], K2: []}
-        for _ in range(3):
+        for _ in range(5):
             for k, fn in ((K1, run1), (K2, run2)):
                 t0 = time.perf_counter()
                 np.asarray(fn(init, A, E))

@@ -118,11 +118,12 @@ class TestCheckpoint:
 
 
 class TestTrainer:
-    def _layer(self):
+    def _layer(self, parallel_factor=1):
         return HMMLayer(
             SimpleGenePredTransitions(),
             SimpleGenePredEmissions(),
             use_prior=False,
+            parallel_factor=parallel_factor,
         )
 
     def _batches(self, n, b=4, L=24):
@@ -148,6 +149,19 @@ class TestTrainer:
         assert float(layer.loss(params, batch)) < loss0
         assert os.path.exists(tmp_path / "step_5.npz")
         assert os.path.exists(tmp_path / "step_10.npz")
+
+    def test_fit_with_chunked_engine(self):
+        # Training through the chunked engine exercises the analytic
+        # Baum-Welch custom_vjp end-to-end with optax.
+        layer = self._layer(parallel_factor=4)
+        trainer = Trainer(layer, optimizer=optax.adam(5e-2))
+        params, opt_state = trainer.init(KEY, input_dim=7)
+        batch = next(iter(self._batches(1)))
+        loss0 = float(layer.loss(params, batch))
+        params, opt_state, loss = trainer.fit(
+            params, opt_state, [batch] * 10
+        )
+        assert float(layer.loss(params, batch)) < loss0
 
     def test_frozen_mask_keeps_params(self):
         from hmm_layer_tpu.models import ProfileEmissions, ProfileTransitions
