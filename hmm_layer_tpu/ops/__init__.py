@@ -6,7 +6,7 @@ log-space / tropical building blocks; ``scan`` provides generic RNN-style
 drivers for custom cells; ``kmer`` encodes one-hot nucleotide sequences.
 """
 
-from . import kmer, recursion, scan, semiring
+from . import em, kmer, recursion, scan, semiring
 from .recursion import (
     ForwardResult,
     backward,
@@ -15,6 +15,7 @@ from .recursion import (
     posterior,
     viterbi,
 )
+from .em import em_step, expected_statistics
 from .scan import bidirectional_scan, rnn_scan
 from .semiring import (
     EPS,
@@ -33,6 +34,8 @@ __all__ = [
     "posterior",
     "log_likelihood",
     "viterbi",
+    "em_step",
+    "expected_statistics",
     "rnn_scan",
     "bidirectional_scan",
     "logmatmul",
@@ -42,6 +45,7 @@ __all__ = [
     "log_normalize",
     "EPS",
     "LOG_ZERO",
+    "em",
     "kmer",
     "recursion",
     "scan",

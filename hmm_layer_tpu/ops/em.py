@@ -1,0 +1,91 @@
+"""Classical Baum-Welch (EM) re-estimation for dense HMMs.
+
+The reference trains only by gradient descent; a general HMM engine also
+needs the closed-form EM updates. These reuse the chunked engine's
+forward/backward quantities and the balanced-shift xi contraction from the
+analytic VJPs — O(L·q) memory, chunk-parallel depth, Pallas-accelerated
+where supported.
+
+Emissions here are per-position probabilities produced by arbitrary
+parameterized emitters (not free lookup tables), so the M-step for emission
+parameters is the emitter's own job: maximize ``sum_t gamma_t(j) *
+log E_t(j)`` — for gradient emitters just train with
+:func:`hmm_layer_tpu.posterior`; for free categorical tables accumulate
+``gamma`` against observed symbols. This module provides the exact E-step
+statistics plus the closed-form init/transition M-step.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .recursion import (
+    EPS,
+    _backward_chunked_primal,
+    _clamped,
+    _forward_chunked_primal,
+    _forward_seq,
+    _backward_seq,
+    _PRECISION,
+)
+
+__all__ = ["expected_statistics", "em_step"]
+
+
+def expected_statistics(init, A, E, parallel_factor: int = 1):
+    """E-step: posterior statistics of the hidden chain.
+
+    Args:
+        init: (m, q); A: (m, q, q); E: (m, b, L, q) linear emission probs.
+
+    Returns:
+        gamma: (m, b, L, q) posterior state probabilities (linear space).
+        xi_sum: (m, q, q) expected transition counts, summed over batch and
+            time: ``sum_{b,t} P(s_{t-1}=i, s_t=j | x)``.
+        loglik: (m, b).
+    """
+    if parallel_factor == 1:
+        la, ll = _forward_seq(init, A, E)
+        lb = _backward_seq(A, E)
+    else:
+        la, ll = _forward_chunked_primal(init, A, E, parallel_factor)
+        lb = _backward_chunked_primal(init, A, E, parallel_factor)
+    log_E = jnp.log(_clamped(E))
+    gamma = jnp.exp(la + lb - ll[..., None, None])
+
+    # xi_sum(i, j) = A(i, j) * sum_{b,t} exp(la_{t-1}(i) + log_E_t(j)
+    #                                        + lb_t(j) - ll), balanced-shift
+    # einsum (the factors alone would under/overflow at |ll| ~ L).
+    csh = jnp.max(la[:, :, :-1], axis=-1, keepdims=True)
+    F = jnp.exp(la[:, :, :-1] - csh)
+    U = jnp.exp(lb[:, :, 1:] + log_E[:, :, 1:] - ll[..., None, None] + csh)
+    xi_sum = A * jnp.einsum("mbti,mbtj->mij", F, U, precision=_PRECISION)
+    return gamma, xi_sum, ll
+
+
+def em_step(init, A, E, parallel_factor: int = 1, pseudocount: float = 0.0):
+    """One Baum-Welch update of the initial distribution and transitions.
+
+    ``new_init(i) ∝ sum_b gamma_0(i)``; ``new_A(i, j) ∝ xi_sum(i, j)``.
+    ``pseudocount`` adds Dirichlet-style smoothing to both updates.
+    Transition entries that are exactly zero stay zero (structural grammar
+    edges are preserved).
+
+    Returns:
+        (new_init (m, q), new_A (m, q, q), loglik (m, b)) — loglik is the
+        pre-update likelihood (monotonically non-decreasing across steps).
+    """
+    gamma, xi_sum, ll = expected_statistics(init, A, E, parallel_factor)
+    structure = (A > 0).astype(A.dtype)
+
+    counts_init = jnp.sum(gamma[:, :, 0], axis=1) + pseudocount
+    counts_init = counts_init * (init > 0)
+    new_init = counts_init / jnp.maximum(
+        jnp.sum(counts_init, axis=-1, keepdims=True), EPS
+    )
+
+    counts_A = (xi_sum + pseudocount) * structure
+    row = jnp.sum(counts_A, axis=-1, keepdims=True)
+    new_A = jnp.where(row > 0, counts_A / jnp.maximum(row, EPS), A)
+    return new_init, new_A, ll

@@ -365,3 +365,58 @@ class TestStreaming:
         np.testing.assert_allclose(
             np.asarray(jax.nn.logsumexp(f, axis=-1)), 0.0, atol=1e-5
         )
+
+
+class TestBaumWelch:
+    def test_xi_matches_brute_force(self):
+        from hmm_layer_tpu.ops import em
+        from oracle import posterior_np
+        from itertools import product
+
+        init, A, E = random_hmm(RNG, q=3, L=5, b=1)
+        gamma, xi_sum, ll = em.expected_statistics(*_stack(init, A, E))
+        # brute force: enumerate all paths in f64
+        q, L = 3, 5
+        joint = np.zeros((q,) * L)
+        for path in product(range(q), repeat=L):
+            p = init[path[0]] * E[0, 0, path[0]]
+            for t in range(1, L):
+                p *= A[path[t - 1], path[t]] * E[0, t, path[t]]
+            joint[path] = p
+        Z = joint.sum()
+        xi_bf = np.zeros((q, q))
+        for t in range(1, L):
+            marg = joint.sum(
+                axis=tuple(k for k in range(L) if k not in (t - 1, t))
+            )
+            xi_bf += marg / Z
+        np.testing.assert_allclose(np.asarray(xi_sum[0]), xi_bf, rtol=1e-4)
+        gam_np, _ = posterior_np(init, A, E[0])
+        np.testing.assert_allclose(
+            np.asarray(gamma[0, 0]), np.exp(gam_np), rtol=1e-3, atol=1e-4
+        )
+
+    @pytest.mark.parametrize("P", [1, 4])
+    def test_em_monotonic(self, P):
+        from hmm_layer_tpu.ops import em
+
+        init, A, E = random_hmm(RNG, q=4, L=32, b=3)
+        ini, Aj, Ej = _stack(init, A, E)
+        lls = []
+        for _ in range(5):
+            ini, Aj, ll = em.em_step(ini, Aj, Ej, parallel_factor=P)
+            lls.append(float(np.asarray(ll).sum()))
+        assert all(b2 >= a2 - 1e-3 for a2, b2 in zip(lls, lls[1:])), lls
+        # updates stay stochastic
+        np.testing.assert_allclose(np.asarray(Aj).sum(-1), 1.0, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(ini).sum(-1), 1.0, rtol=1e-5)
+
+    def test_structural_zeros_preserved(self):
+        from hmm_layer_tpu.ops import em
+
+        init, A, E = random_hmm(RNG, q=4, L=16, b=2)
+        A = A.copy()
+        A[0, 2] = 0.0
+        A = A / A.sum(-1, keepdims=True)
+        ini, Aj, _ = em.em_step(*_stack(init, A, E))
+        assert float(np.asarray(Aj)[0, 0, 2]) == 0.0
