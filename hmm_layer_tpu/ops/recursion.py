@@ -50,7 +50,7 @@ from jax import lax
 from functools import partial
 
 from .semiring import EPS, logmatmul, maxargmatvec, maxmatmul
-from . import pallas_forward, pallas_viterbi
+from . import pallas_adjoint, pallas_forward, pallas_viterbi
 
 # The DP recursions are numerically sensitive: on TPU the default matmul
 # precision is bfloat16, whose per-step rounding accumulates linearly in L
@@ -608,7 +608,67 @@ _backward_chunked_fast.defvjp(_backward_fast_fwd, _backward_fast_bwd)
 
 
 def _chunked_affine_reverse(B, u, v, cvec, P):
-    """Chunked solve of ``x_t = cvec_t + u_t * (B @ (v_t * x_{t+1}))``.
+    """Chunked solve of ``x_t = cvec_t + u_t * (B @ (v_t * x_{t+1}))``
+    (terminal ``x_L = 0``) — dispatches to the Pallas kernels on TPU."""
+    m, _, _, q = cvec.shape
+    if (
+        pallas_adjoint.supported(q)
+        and m <= 4
+        and (
+            pallas_viterbi.FORCE_INTERPRET
+            or jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
+        )
+    ):
+        return _chunked_affine_reverse_pallas(B, u, v, cvec, P)
+    return _chunked_affine_reverse_xla(B, u, v, cvec, P)
+
+
+def _chunked_affine_reverse_pallas(B, u, v, cvec, P):
+    """Pallas path of :func:`_chunked_affine_reverse`: per-model kernel
+    summary/output passes around the XLA boundary fold (the model axis is
+    a static loop because B differs per model — the posterior VJP stacks
+    [A; A^T])."""
+    m, b, L, q = cvec.shape
+    c = L // P
+    R = b * P
+    R_pad = pallas_viterbi.pad_chunk_elements(R)
+    interpret = pallas_viterbi.FORCE_INTERPRET
+
+    def lanes(x):  # (b, L, q) -> (c, q, R_pad), zero-padded lanes
+        xc = jnp.moveaxis(x.reshape(b * P, c, q), 1, 0)
+        return _pad_lanes(jnp.swapaxes(xc, -1, -2), R_pad)
+
+    xs = []
+    for mi in range(m):
+        U, V, S = lanes(u[mi]), lanes(v[mi]), lanes(cvec[mi])
+        comp = pallas_adjoint.affine_chunk_composites(
+            B[mi], U, V, S, interpret=interpret
+        )[:R]  # (R, q, q+1)
+        compP = jnp.moveaxis(comp.reshape(b, P, q, q + 1), 1, 0)
+
+        def fold(vb, comp_p):
+            x_start = comp_p[..., -1] + jnp.einsum(
+                "bij,bj->bi", comp_p[..., :q], vb, precision=_PRECISION
+            )
+            return x_start, vb
+
+        _, rights = lax.scan(
+            fold, jnp.zeros((b, q), cvec.dtype), compP, reverse=True
+        )  # rights[p] = x entering chunk p's right edge
+        x_right = jnp.moveaxis(rights, 0, 1).reshape(R, q)
+        x0 = _pad_lanes(
+            jnp.pad(x_right.T, ((0, pallas_viterbi.PAD - q), (0, 0))), R_pad
+        )
+        out = pallas_adjoint.affine_reverse_outputs(
+            B[mi], U, V, S, x0, interpret=interpret
+        )  # (c, PAD, R_pad)
+        x = jnp.moveaxis(out[:, :q, :R], (0, 1, 2), (1, 2, 0))  # (R, c, q)
+        xs.append(x.reshape(b, L, q))
+    return jnp.stack(xs)
+
+
+def _chunked_affine_reverse_xla(B, u, v, cvec, P):
+    """XLA scan path of :func:`_chunked_affine_reverse`.
 
     The adjoint recursions of the forward/backward HMM variables are affine
     in the adjoint with per-step maps ``M_t = diag(u_t) B diag(v_t)`` whose

@@ -420,3 +420,71 @@ class TestBaumWelch:
         A = A / A.sum(-1, keepdims=True)
         ini, Aj, _ = em.em_step(*_stack(init, A, E))
         assert float(np.asarray(Aj)[0, 0, 2]) == 0.0
+
+
+class TestPallasAffineAdjoint:
+    def test_matches_xla_solver(self, monkeypatch):
+        from hmm_layer_tpu.ops import pallas_viterbi, recursion as rec
+
+        monkeypatch.setattr(pallas_viterbi, "FORCE_INTERPRET", True)
+        rng = np.random.default_rng(3)
+        m, b, L, q, P = 2, 3, 24, 5, 4
+        B = rng.dirichlet(np.ones(q), size=(m, q)).astype(np.float32)
+        u = rng.uniform(0, 1, (m, b, L, q)).astype(np.float32)
+        v = rng.uniform(0, 1, (m, b, L, q)).astype(np.float32)
+        v[:, :, -1] = 0.0  # terminal condition x_L = 0
+        s = rng.normal(size=(m, b, L, q)).astype(np.float32)
+        args = tuple(map(jnp.asarray, (B, u, v, s)))
+        x_pl = rec._chunked_affine_reverse_pallas(*args, P)
+        x_xla = rec._chunked_affine_reverse_xla(*args, P)
+        np.testing.assert_allclose(
+            np.asarray(x_pl), np.asarray(x_xla), rtol=1e-5, atol=1e-6
+        )
+
+    def test_single_chunk_and_q15(self, monkeypatch):
+        from hmm_layer_tpu.ops import pallas_viterbi, recursion as rec
+
+        monkeypatch.setattr(pallas_viterbi, "FORCE_INTERPRET", True)
+        rng = np.random.default_rng(4)
+        for q, P, L in ((15, 1, 6), (3, 6, 6)):
+            B = rng.dirichlet(np.ones(q), size=(1, q)).astype(np.float32)
+            u = rng.uniform(0, 1, (1, 2, L, q)).astype(np.float32)
+            v = rng.uniform(0, 1, (1, 2, L, q)).astype(np.float32)
+            v[:, :, -1] = 0.0
+            s = rng.normal(size=(1, 2, L, q)).astype(np.float32)
+            args = tuple(map(jnp.asarray, (B, u, v, s)))
+            np.testing.assert_allclose(
+                np.asarray(rec._chunked_affine_reverse_pallas(*args, P)),
+                np.asarray(rec._chunked_affine_reverse_xla(*args, P)),
+                rtol=1e-5,
+                atol=1e-6,
+            )
+
+    def test_grad_posterior_through_pallas_adjoint(self, monkeypatch):
+        from hmm_layer_tpu.ops import pallas_viterbi
+
+        monkeypatch.setattr(pallas_viterbi, "FORCE_INTERPRET", True)
+        init, A, E = random_hmm(RNG, q=5, L=24, b=2)
+        ini, Aj, Ej = _stack(init, A, E)
+        w = jnp.asarray(
+            np.random.default_rng(5).normal(size=(1, 2, 24, 5)).astype(np.float32)
+        )
+
+        def loss(P):
+            def f(A_, E_):
+                lg, ll = recursion.posterior(ini, A_, E_, parallel_factor=P)
+                return jnp.sum(w * lg)
+            return f
+
+        gA_p, gE_p = jax.grad(loss(4), argnums=(0, 1))(Aj, Ej)
+        monkeypatch.setattr(pallas_viterbi, "FORCE_INTERPRET", False)
+        gA_x, gE_x = jax.grad(loss(4), argnums=(0, 1))(Aj, Ej)
+        gA_1, gE_1 = jax.grad(loss(1), argnums=(0, 1))(Aj, Ej)
+        for got, ref in ((gA_p, gA_x), (gE_p, gE_x)):
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5
+            )
+        scale = float(jnp.abs(gA_1).max())
+        np.testing.assert_allclose(
+            np.asarray(gA_p) / scale, np.asarray(gA_1) / scale, atol=1e-4
+        )
