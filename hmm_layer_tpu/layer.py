@@ -22,7 +22,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .ops import recursion
+from .ops import recursion, sampling
 
 __all__ = ["HMMLayer"]
 
@@ -140,6 +140,13 @@ class HMMLayer:
         """Most likely state paths; (m, b, L) int32."""
         init, A, E = self._ingredients(params, inputs, None, False)
         return recursion.viterbi(init, A, E, self.parallel_factor)
+
+    def sample_paths(self, params, inputs, key, num_samples: int = 1):
+        """Exact posterior path samples; (m, b, num_samples, L) int32."""
+        init, A, E = self._ingredients(params, inputs, None, False)
+        return sampling.sample_posterior(
+            init, A, E, key, num_samples, self.parallel_factor
+        )
 
     # -- priors / weights / losses ----------------------------------------------
 

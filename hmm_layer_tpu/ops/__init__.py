@@ -6,7 +6,7 @@ log-space / tropical building blocks; ``scan`` provides generic RNN-style
 drivers for custom cells; ``kmer`` encodes one-hot nucleotide sequences.
 """
 
-from . import em, kmer, recursion, scan, semiring
+from . import em, kmer, recursion, sampling, scan, semiring
 from .recursion import (
     ForwardResult,
     backward,
@@ -16,6 +16,7 @@ from .recursion import (
     viterbi,
 )
 from .em import em_step, expected_statistics
+from .sampling import sample_posterior
 from .scan import bidirectional_scan, rnn_scan
 from .semiring import (
     EPS,
@@ -36,6 +37,7 @@ __all__ = [
     "viterbi",
     "em_step",
     "expected_statistics",
+    "sample_posterior",
     "rnn_scan",
     "bidirectional_scan",
     "logmatmul",
@@ -48,6 +50,7 @@ __all__ = [
     "em",
     "kmer",
     "recursion",
+    "sampling",
     "scan",
     "semiring",
 ]

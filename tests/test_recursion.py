@@ -488,3 +488,95 @@ class TestPallasAffineAdjoint:
         np.testing.assert_allclose(
             np.asarray(gA_p) / scale, np.asarray(gA_1) / scale, atol=1e-4
         )
+
+
+class TestPosteriorSampling:
+    def _marginals(self, paths, q):
+        # paths (m, b, S, L) -> empirical per-position state frequencies
+        oh = np.eye(q)[np.asarray(paths)]  # (m, b, S, L, q)
+        return oh.mean(axis=2)[0, 0]  # (L, q)
+
+    @pytest.mark.parametrize("P", [1, 4])
+    def test_marginals_match_posterior(self, P):
+        from hmm_layer_tpu.ops import sampling
+        from oracle import posterior_np
+
+        init, A, E = random_hmm(RNG, q=3, L=8, b=1)
+        key = jax.random.PRNGKey(0)
+        S = 4000
+        paths = jax.jit(
+            lambda *a: sampling.sample_posterior(
+                *a, num_samples=S, parallel_factor=P
+            )
+        )(*_stack(init, A, E), key)
+        assert paths.shape == (1, 1, S, 8)
+        emp = self._marginals(paths, 3)
+        gam, _ = posterior_np(init, A, E[0])
+        np.testing.assert_allclose(emp, np.exp(gam), atol=4.5 / np.sqrt(S))
+
+    def test_pair_frequencies_match_xi(self):
+        from hmm_layer_tpu.ops import em, sampling
+
+        init, A, E = random_hmm(RNG, q=3, L=6, b=1)
+        _, xi_sum, _ = em.expected_statistics(*_stack(init, A, E))
+        S = 4000
+        paths = np.asarray(
+            jax.jit(
+                lambda *a: sampling.sample_posterior(
+                    *a, num_samples=S, parallel_factor=2
+                )
+            )(*_stack(init, A, E), jax.random.PRNGKey(1))
+        )[0, 0]
+        counts = np.zeros((3, 3))
+        for t in range(5):
+            np.add.at(counts, (paths[:, t], paths[:, t + 1]), 1.0)
+        np.testing.assert_allclose(
+            counts / S, np.asarray(xi_sum[0]), atol=5 * np.sqrt(5) / np.sqrt(S)
+        )
+
+    def test_structural_zeros_never_sampled(self):
+        from hmm_layer_tpu.ops import sampling
+
+        init, A, E = random_hmm(RNG, q=4, L=16, b=2)
+        A = A.copy()
+        A[1, :] = 0.0
+        A[1, 2] = 1.0  # state 1 can only go to state 2
+        for P in (1, 4):
+            paths = np.asarray(
+                sampling.sample_posterior(
+                    *_stack(init, A, E),
+                    jax.random.PRNGKey(2),
+                    num_samples=64,
+                    parallel_factor=P,
+                )
+            )
+            pre = paths[..., :-1]
+            nxt = paths[..., 1:]
+            assert np.all(nxt[pre == 1] == 2), f"P={P}"
+
+    @pytest.mark.parametrize("P", [1, 2])
+    def test_joint_path_distribution_exact(self, P):
+        from hmm_layer_tpu.ops import sampling
+        from itertools import product
+
+        init, A, E = random_hmm(RNG, q=2, L=4, b=1)
+        probs = {}
+        for path in product(range(2), repeat=4):
+            p = init[path[0]] * E[0, 0, path[0]]
+            for t in range(1, 4):
+                p *= A[path[t - 1], path[t]] * E[0, t, path[t]]
+            probs[path] = p
+        Z = sum(probs.values())
+        S = 8000
+        paths = np.asarray(
+            jax.jit(
+                lambda *a: sampling.sample_posterior(
+                    *a, num_samples=S, parallel_factor=P
+                )
+            )(*_stack(init, A, E), jax.random.PRNGKey(3))
+        )[0, 0]
+        for path, p in probs.items():
+            emp = np.mean(np.all(paths == np.array(path), axis=-1))
+            np.testing.assert_allclose(
+                emp, p / Z, atol=4.5 * np.sqrt(0.25 / S)
+            ), path
