@@ -22,9 +22,11 @@ import jax.numpy as jnp
 
 from .recursion import (
     EPS,
-    _backward_chunked_primal,
+    _backward_outputs,
+    _boundary_values,
+    _chunk_summaries_dispatch,
     _clamped,
-    _forward_chunked_primal,
+    _forward_outputs,
     _forward_seq,
     _backward_seq,
     _PRECISION,
@@ -49,8 +51,13 @@ def expected_statistics(init, A, E, parallel_factor: int = 1):
         la, ll = _forward_seq(init, A, E)
         lb = _backward_seq(A, E)
     else:
-        la, ll = _forward_chunked_primal(init, A, E, parallel_factor)
-        lb = _backward_chunked_primal(init, A, E, parallel_factor)
+        # ONE summary pass serves both directions (same structure as
+        # recursion._loglik_fast_bwd) — the dominant O(L·q²) scan would
+        # otherwise run twice per E-step.
+        C = _chunk_summaries_dispatch(A, E, parallel_factor)
+        T, S, ll = _boundary_values(init, C)
+        la = _forward_outputs(init, A, E, T, parallel_factor)
+        lb = _backward_outputs(A, E, S, parallel_factor)
     log_E = jnp.log(_clamped(E))
     gamma = jnp.exp(la + lb - ll[..., None, None])
 

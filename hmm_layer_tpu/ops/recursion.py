@@ -361,15 +361,21 @@ def _backward_outputs(A, E, S, parallel_factor):
 # ---------------------------------------------------------------------------
 
 
-def _use_pallas(q: int, m: int) -> bool:
-    # The kernels are Mosaic/TPU-only: fall back to XLA on CPU *and* GPU
-    # (an unknown backend name is assumed to be a TPU variant, e.g. the
-    # experimental "axon" platform).
-    backend = jax.default_backend()
-    return pallas_forward.supported(q, m) and (
+# The Mosaic kernels only lower on TPU backends; dispatch on an explicit
+# allowlist (not a "anything unknown must be TPU" sniff) so a future backend
+# falls back to the always-correct XLA path instead of failing to lower.
+_TPU_BACKENDS = ("tpu", "axon")
+
+
+def _pallas_backend_ok() -> bool:
+    return (
         pallas_viterbi.FORCE_INTERPRET
-        or backend not in ("cpu", "gpu", "cuda", "rocm")
+        or jax.default_backend() in _TPU_BACKENDS
     )
+
+
+def _use_pallas(q: int, m: int) -> bool:
+    return pallas_forward.supported(q, m) and _pallas_backend_ok()
 
 
 def _pallas_chunk_inputs(E, P):
@@ -611,14 +617,7 @@ def _chunked_affine_reverse(B, u, v, cvec, P):
     """Chunked solve of ``x_t = cvec_t + u_t * (B @ (v_t * x_{t+1}))``
     (terminal ``x_L = 0``) — dispatches to the Pallas kernels on TPU."""
     m, _, _, q = cvec.shape
-    if (
-        pallas_adjoint.supported(q)
-        and m <= 4
-        and (
-            pallas_viterbi.FORCE_INTERPRET
-            or jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
-        )
-    ):
+    if pallas_adjoint.supported(q) and m <= 4 and _pallas_backend_ok():
         return _chunked_affine_reverse_pallas(B, u, v, cvec, P)
     return _chunked_affine_reverse_xla(B, u, v, cvec, P)
 
@@ -789,16 +788,7 @@ def _posterior_analytic_vjp(init, A, E, P, no_loglik, ct, ct_ll_direct, saved):
     # source, whose centered part is identically zero — it enters only via
     # the cumulative scalar R below.
     src = ct - gam * sig[..., None]  # centered (same for both adjoints)
-    s = jnp.max(la, axis=-1, keepdims=True)  # (m, b, L, 1)
-    f = jnp.exp(la - s)
-    # gbar_t = exp(e_{t+1} + s_t - la_{t+1}); zero at t = L-1 (x_L = 0).
-    gbar = jnp.concatenate(
-        [
-            jnp.exp(log_E[:, :, 1:] + s[:, :, :-1] - la[:, :, 1:]),
-            jnp.zeros((m, b, 1, q), E.dtype),
-        ],
-        axis=2,
-    )
+    f, gbar = _forward_adjoint_weights(la, log_E)
     # lb adjoint: forward-time with maps diag(gp) A^T diag(fp) — a reverse
     # recursion on the flipped time axis. Stacking it as extra "models"
     # (B = [A; A^T]) halves the scan count and doubles the matmul batch.

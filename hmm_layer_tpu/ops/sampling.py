@@ -29,7 +29,6 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .semiring import LOG_ZERO
 from .recursion import (
     _boundary_values,
     _chunk_summaries_dispatch,
@@ -39,9 +38,18 @@ from .recursion import (
 
 __all__ = ["sample_posterior"]
 
+# Tropical sentinel for structurally-impossible transitions. Sampling is
+# gradient-free, so a hard mask is safe — and necessary for the exactness
+# guarantee: the soft LOG_ZERO (-1e3) used by the differentiable recursions
+# could in principle lose an argmax to accumulated within-chunk log-alpha
+# deficits of the same magnitude. Not -inf: the one-hot row-select einsums
+# below would turn 0 * -inf into NaN; -1e30 is unbeatable by any real path
+# score (bounded by ~L·|log EPS| ≈ 4e5) yet stays finite under adds.
+_MASK = -1e30
+
 
 def _masked_log(A):
-    return jnp.where(A > 0, jnp.log(_clamped(A)), LOG_ZERO)
+    return jnp.where(A > 0, jnp.log(_clamped(A)), _MASK)
 
 
 def _gumbel_argmax(logits, g):

@@ -82,8 +82,11 @@ def make_mesh(axis_sizes: dict[str, int], devices=None) -> Mesh:
     names = tuple(axis_sizes.keys())
     shape = tuple(axis_sizes.values())
     n = int(np.prod(shape))
-    devices = devices if devices is not None else jax.devices()[:n]
-    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    devices = devices if devices is not None else jax.devices()
+    if len(devices) < n:
+        raise ValueError(
+            f"mesh {axis_sizes} needs {n} devices, have {len(devices)}"
+        )
     dev_array = np.asarray(devices[:n]).reshape(shape)
     return Mesh(dev_array, names)
 
@@ -101,20 +104,36 @@ def replicate(tree, mesh: Mesh):
     return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)
 
 
-def data_parallel_fn(fn, mesh: Mesh, axis: str = "data", batch_dim: int = 1):
+def data_parallel_fn(
+    fn,
+    mesh: Mesh,
+    axis: str = "data",
+    batch_dim: int = 1,
+    donate_params: bool = False,
+):
     """Jit ``fn(params, x, ...)`` with ``x`` batch-sharded over ``axis``.
 
-    XLA inserts the cross-device reductions (mean/sum over batch) as psum
-    collectives; params are replicated.
+    Params are constrained to replicated sharding and the batch to
+    ``axis``-sharded, so XLA inserts the cross-device reductions (mean/sum
+    over batch, gradient psums) and no accidental resharding happens at the
+    call boundary. ``donate_params=True`` donates the params buffers — the
+    right setting for ``new_params = step(params, batch)`` training loops,
+    where it makes the update in-place on device (do not reuse the donated
+    ``params`` afterwards).
     """
-    def in_shardings(x_ndim):
+    repl = NamedSharding(mesh, P())
+
+    def x_sharding(x_ndim):
         spec = [None] * x_ndim
         spec[batch_dim] = axis
         return NamedSharding(mesh, P(*spec))
 
-    @partial(jax.jit)
+    @partial(jax.jit, donate_argnums=(0,) if donate_params else ())
     def wrapped(params, x, *args, **kwargs):
-        x = jax.lax.with_sharding_constraint(x, in_shardings(x.ndim))
+        params = jax.tree.map(
+            lambda a: jax.lax.with_sharding_constraint(a, repl), params
+        )
+        x = jax.lax.with_sharding_constraint(x, x_sharding(x.ndim))
         return fn(params, x, *args, **kwargs)
 
     return wrapped

@@ -27,7 +27,8 @@ class TestMeshCreation:
         assert mesh.shape == {"data": 4, "state": 2}
 
     def test_too_many_devices_raises(self):
-        with pytest.raises(AssertionError):
+        # Explicit ValueError (not a bare assert, which python -O strips).
+        with pytest.raises(ValueError, match="16 devices"):
             sharding.make_mesh({"data": 16})
 
 
