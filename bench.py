@@ -1,9 +1,14 @@
-"""Headline benchmark: gene-pred HMM posterior decode throughput on TPU.
+"""Headline benchmark: gene-pred HMM END-TO-END posterior throughput on TPU.
 
-Workload (BASELINE.json configs 2/3): posterior (forward+backward) of a
-15-state gene-prediction HMM over (batch=32, L=9999) given precomputed
-emission probabilities — the same scope as the reference-equivalent CPU
+Workload (BASELINE.json configs 2/3 + north-star fused emission scoring):
+the full pipeline from raw inputs — class probabilities plus one-hot
+nucleotides — through 15-state gene-pred emission scoring (3-mer encoding +
+codon-pattern contraction, ``gene_pred_hmm_emitter.py:231-277`` +
+``kmer.py:3-47``) into the posterior decode (forward+backward) over
+(batch=32, L=9999) — the same scope as the reference-equivalent CPU
 baseline in benchmarks/torch_cpu_baseline.py (eager per-timestep loop).
+The decode-only number (precomputed emissions, round-1 headline) is still
+measured and reported on stderr with the emission share quantified.
 
 Measurement: the axon TPU tunnel has a ~33 ms fixed per-dispatch cost that
 dwarfs device compute, and ``block_until_ready`` does not synchronize
@@ -35,70 +40,113 @@ def main():
     from jax import lax
 
     from hmm_layer_tpu.ops import recursion
+    from hmm_layer_tpu.models.gene_pred_emissions import GenePredEmissions
 
     Q, B, L = 15, 32, 9999
+    NUM_CLASSES = 15
     rng = np.random.default_rng(0)
     init = jnp.asarray(rng.dirichlet(np.ones(Q)).astype(np.float32))[None]
     A = jnp.asarray(rng.dirichlet(np.ones(Q), size=Q).astype(np.float32))[None]
     E = jnp.asarray(rng.uniform(0.05, 1.0, size=(1, B, L, Q)).astype(np.float32))
+
+    # End-to-end inputs: class probabilities + one-hot ACGTN nucleotides.
+    emitter = GenePredEmissions(
+        start_codons=[("ATG", 1.0)],
+        stop_codons=[("TAG", 0.34), ("TAA", 0.33), ("TGA", 0.33)],
+        intron_begin_pattern=[("NGT", 0.99), ("NGC", 0.005), ("NAT", 0.005)],
+        intron_end_pattern=[("AGN", 0.99), ("ACN", 0.01)],
+    )
+    eparams = emitter.init_params(jax.random.PRNGKey(0), NUM_CLASSES)
+    class_inputs = rng.dirichlet(
+        np.ones(NUM_CLASSES), size=(1, B, L)
+    ).astype(np.float32)
+    nucs = np.eye(5, dtype=np.float32)[rng.integers(0, 4, size=(1, B, L))]
+    X = jnp.asarray(np.concatenate([class_inputs, nucs], axis=-1))
     np.asarray(E[0, 0, 0, :1])  # materialize on device
 
     log(f"devices: {jax.devices()}")
 
-    def repeated(pf, n):
+    def clamp(e):
+        return jnp.maximum(e, 1e-16)
+
+    def repeated(pf, n, e2e):
         @jax.jit
-        def run(init, A, E):
+        def run(init, A, E, X):
             def body(k, acc):
-                e_k = E * (1.0 + 1e-6 * k)  # defeat CSE across iterations
+                if e2e:
+                    x_k = X * (1.0 + 1e-6 * k)  # defeat CSE across iterations
+                    e_k = clamp(emitter.emissions(eparams, x_k))
+                else:
+                    e_k = E * (1.0 + 1e-6 * k)
                 lg, ll = recursion.posterior(init, A, e_k, pf)
                 return acc + jnp.sum(lg[..., 0, :]) + jnp.sum(ll)
             return lax.fori_loop(0, n, body, 0.0)
         return run
 
     K1, K2 = 3, 19
-    candidates = [1, 11, 33]
-    best = None
-    for pf in candidates:
-        run1, run2 = repeated(pf, K1), repeated(pf, K2)
+
+    def measure(pf, e2e):
+        run1, run2 = repeated(pf, K1, e2e), repeated(pf, K2, e2e)
         t0 = time.perf_counter()
-        np.asarray(run1(init, A, E))  # compile + run
+        np.asarray(run1(init, A, E, X))  # compile + run
         compile_s = time.perf_counter() - t0
-        np.asarray(run2(init, A, E))
+        np.asarray(run2(init, A, E, X))
         times = {K1: [], K2: []}
         for _ in range(5):
             for k, fn in ((K1, run1), (K2, run2)):
                 t0 = time.perf_counter()
-                np.asarray(fn(init, A, E))
+                np.asarray(fn(init, A, E, X))
                 times[k].append(time.perf_counter() - t0)
         per_batch = (min(times[K2]) - min(times[K1])) / (K2 - K1)
+        return per_batch, compile_s
+
+    best = best_decode = None
+    for pf in (1, 11, 33):
+        per_batch, compile_s = measure(pf, e2e=False)
         sps = B / per_batch
         log(
-            f"parallel_factor={pf}: compile {compile_s:.1f}s, "
+            f"decode-only  pf={pf}: compile {compile_s:.1f}s, "
             f"{per_batch*1e3:.2f} ms/batch (device), {sps:.1f} seqs/sec"
+        )
+        if best_decode is None or sps > best_decode[1]:
+            best_decode = (pf, sps, per_batch)
+    for pf in (best_decode[0],):
+        per_batch, compile_s = measure(pf, e2e=True)
+        sps = B / per_batch
+        emission_ms = (per_batch - best_decode[2]) * 1e3
+        log(
+            f"END-TO-END   pf={pf}: compile {compile_s:.1f}s, "
+            f"{per_batch*1e3:.2f} ms/batch (device), {sps:.1f} seqs/sec "
+            f"(emission share ~{emission_ms:.2f} ms)"
         )
         if best is None or sps > best[1]:
             best = (pf, sps)
 
-    baseline_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "benchmarks", "baseline_cpu.json"
-    )
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "benchmarks")
     vs_baseline = None
-    if os.path.exists(baseline_path):
-        with open(baseline_path) as f:
-            baseline = json.load(f)
-        vs_baseline = best[1] / baseline["seqs_per_sec"]
-        log(
-            f"cpu baseline: {baseline['seqs_per_sec']:.1f} seqs/sec -> "
-            f"speedup {vs_baseline:.1f}x"
-        )
+    for name, sps in (
+        ("baseline_cpu.json", best_decode[1]),
+        ("baseline_cpu_e2e.json", best[1]),
+    ):
+        path = os.path.join(bench_dir, name)
+        if os.path.exists(path):
+            with open(path) as f:
+                baseline = json.load(f)
+            ratio = sps / baseline["seqs_per_sec"]
+            log(
+                f"{name}: {baseline['seqs_per_sec']:.1f} seqs/sec -> "
+                f"speedup {ratio:.1f}x"
+            )
+            vs_baseline = ratio  # e2e (last) wins the headline
 
     print(
         json.dumps(
             {
                 "metric": (
-                    "gene-pred 15-state posterior decode throughput "
-                    f"(fwd+bwd, b={B}, L={L}, parallel_factor={best[0]}, "
-                    "device time)"
+                    "gene-pred 15-state END-TO-END posterior throughput "
+                    "(class probs + nucleotides -> k-mer/codon emissions -> "
+                    f"fwd+bwd decode, b={B}, L={L}, "
+                    f"parallel_factor={best[0]}, device time)"
                 ),
                 "value": round(best[1], 2),
                 "unit": "seqs/sec",

@@ -69,8 +69,13 @@ def pad_chunk_elements(R: int) -> int:
 
 
 def supported(q: int, num_models: int) -> bool:
-    """The specialized kernel covers the flagship decode shapes."""
-    return q <= PAD and num_models == 1
+    """The specialized kernels cover the flagship decode shapes.
+
+    Multi-model batches are handled by ``jax.vmap`` over the wrappers (the
+    model axis becomes a leading grid dimension); per-block VMEM usage is
+    model-count independent, so any ``num_models >= 1`` lowers.
+    """
+    return q <= PAD and num_models >= 1
 
 
 def _kernel(c: int, P: int, q: int, br: int, A_ref, Av_ref, e_ref, out_ref, M):

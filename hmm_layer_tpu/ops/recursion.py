@@ -209,6 +209,21 @@ def _chunk_summaries(A, E, parallel_factor, first_chunk_identity=True):
     R0 = is_first * eye + (1.0 - is_first) * A[:, None, None]  # (m, 1|b, P, q, q)
     R0 = jnp.broadcast_to(R0, (m, b, P, q, q)).reshape(m, b * P, q, q)
 
+    C = _summaries_from_rows(A, Et, R0)  # (m, bP, q, q)
+    C = C.reshape(m, b, P, q, q)
+    return jnp.moveaxis(C, 2, 0), c  # (P, m, b, q, q)
+
+
+def _summaries_from_rows(A, Et, R0):
+    """Scaled summary scan from arbitrary first-step operator rows.
+
+    ``Et``: (c, m, bP, q) linear emissions; ``R0``: (m, bP, r, q) — ``r``
+    border rows per chunk element (the full ``q`` for the dense engine; a
+    local row block for border-sharded state parallelism, where each device
+    owns a slice of the left-border conditioning axis and the scan needs no
+    collectives at all). Returns log-space operators (m, bP, r, q).
+    """
+
     def scale_rows(s):
         z = jnp.sum(s, axis=-1, keepdims=True)
         z = _clamped(z)
@@ -217,16 +232,14 @@ def _chunk_summaries(A, E, parallel_factor, first_chunk_identity=True):
     M0, ll0 = scale_rows(_clamped(Et[0])[..., None, :] * _clamped(R0))
 
     def step(carry, e_t):
-        M, ll = carry  # (m, bP, q, q) row-scaled, (m, bP, q)
+        M, ll = carry  # (m, bP, r, q) row-scaled, (m, bP, r)
         r = jnp.einsum("mbiq,mqp->mbip", M, A, precision=_PRECISION)
         s = _clamped(e_t)[..., None, :] * _clamped(r)
         M_new, dll = scale_rows(s)
         return (M_new, ll + dll), None
 
     (M, ll), _ = lax.scan(step, (M0, ll0), Et[1:])
-    C = jnp.log(M) + ll[..., None]  # (m, bP, q, q)
-    C = C.reshape(m, b, P, q, q)
-    return jnp.moveaxis(C, 2, 0), c  # (P, m, b, q, q)
+    return jnp.log(M) + ll[..., None]
 
 
 def _boundary_values(init, C):
@@ -379,25 +392,28 @@ def _use_pallas(q: int, m: int) -> bool:
 
 
 def _pallas_chunk_inputs(E, P):
-    """Emissions in the kernels' (c, q, R_pad) lane layout."""
+    """Emissions in the kernels' (m, c, q, R_pad) lane layout."""
     m, b, L, q = E.shape
     Ec, c = _split_chunks(E, P)
-    Et = jnp.moveaxis(Ec, 2, 0)  # (c, m, bP, q)
     R = b * P
     R_pad = pallas_viterbi.pad_chunk_elements(R)
-    E_T = jnp.swapaxes(_clamped(Et[:, 0]), -1, -2)  # (c, q, R)
+    # (m, bP, c, q) -> (m, c, q, R): states on sublanes, chunk elems on lanes.
+    E_T = jnp.moveaxis(_clamped(Ec), 1, -1)
     if R_pad != R:
         E_T = jnp.pad(
-            E_T, ((0, 0), (0, 0), (0, R_pad - R)), constant_values=1.0
+            E_T, ((0, 0), (0, 0), (0, 0), (0, R_pad - R)), constant_values=1.0
         )
     return E_T, c, R, R_pad
 
 
 def _chunk_summaries_pallas(A, E_T, P, m, b, R):
+    """vmap over models: the model axis becomes a leading grid dimension."""
     q = A.shape[-1]
-    C_flat = pallas_forward.sum_chunk_summaries(
-        A[0], E_T, P, interpret=pallas_viterbi.FORCE_INTERPRET
-    )[:R]  # (R, q, q), b-major chunk-minor
+    C_flat = jax.vmap(
+        lambda A1, E1: pallas_forward.sum_chunk_summaries(
+            A1, E1, P, interpret=pallas_viterbi.FORCE_INTERPRET
+        )
+    )(A, E_T)[:, :R]  # (m, R, q, q), lanes b-major chunk-minor
     return jnp.moveaxis(C_flat.reshape(m, b, P, q, q), 2, 0)
 
 
@@ -414,40 +430,50 @@ def _posterior_chunked_pallas(init, A, E, P, no_loglik):
     E_T, c, R, R_pad = _pallas_chunk_inputs(E, P)
     C = _chunk_summaries_pallas(A, E_T, P, m, b, R)
     T, S, ll = _boundary_values(init, C)
+    interpret = pallas_viterbi.FORCE_INTERPRET
 
     R0_log = _forward_boundary_starts(init, A, T)
     ll0 = jax.nn.logsumexp(R0_log, axis=-1)  # (m, R)
     r0 = jnp.exp(R0_log - ll0[..., None])
-    log_alpha = pallas_forward.sum_fwd_outputs(
-        A[0],
+    log_alpha = jax.vmap(
+        lambda A1, E1, r1, l1: pallas_forward.sum_fwd_outputs(
+            A1, E1, r1, l1, interpret=interpret
+        )
+    )(
+        A,
         E_T,
-        _pad_lanes(jnp.swapaxes(r0[0], 0, 1), R_pad, 1.0),
-        _pad_lanes(ll0[0], R_pad),
-        interpret=pallas_viterbi.FORCE_INTERPRET,
-    )  # (c, PAD, R_pad)
+        _pad_lanes(jnp.swapaxes(r0, -1, -2), R_pad, 1.0),
+        _pad_lanes(ll0, R_pad),
+    )  # (m, c, PAD, R_pad)
 
     # Backward boundary starts (same construction as _backward_outputs).
     S_flat = jnp.moveaxis(S, 0, 2).reshape(m, b * P, q)
     ll0b = jnp.max(S_flat, axis=-1)
     beta0 = jnp.exp(S_flat - ll0b[..., None])
-    log_beta = pallas_forward.beta_bwd_outputs(
-        A[0],
+    log_beta = jax.vmap(
+        lambda A1, E1, b1, l1: pallas_forward.beta_bwd_outputs(
+            A1, E1, b1, l1, interpret=interpret
+        )
+    )(
+        A,
         E_T,
-        _pad_lanes(jnp.swapaxes(beta0[0], 0, 1), R_pad, 1.0),
-        _pad_lanes(ll0b[0], R_pad),
-        interpret=pallas_viterbi.FORCE_INTERPRET,
+        _pad_lanes(jnp.swapaxes(beta0, -1, -2), R_pad, 1.0),
+        _pad_lanes(ll0b, R_pad),
     )
     # Posterior combine in XLA (one fused elementwise pass).
-    log_gamma = (log_alpha + log_beta)[:, :q, :R]  # (c, q, R)
+    log_gamma = (log_alpha + log_beta)[:, :, :q, :R]  # (m, c, q, R)
     if not no_loglik:
-        ll_lane = jnp.broadcast_to(ll[0][:, None], (b, P)).reshape(R)
-        log_gamma = log_gamma - ll_lane[None, None, :]
+        ll_lane = jnp.broadcast_to(ll[..., None], (m, b, P)).reshape(m, R)
+        log_gamma = log_gamma - ll_lane[:, None, None, :]
 
-    lg = jnp.moveaxis(log_gamma, (0, 1, 2), (1, 2, 0))  # (R, c, q)
-    la_mb = jnp.moveaxis(log_alpha[:, :q, :R], (0, 1, 2), (1, 2, 0)).reshape(
-        m, b, L, q
+    def to_mblq(x):  # (m, c, q, R) -> (m, b, L, q); lanes are b-major
+        return jnp.moveaxis(x, (1, 2, 3), (2, 3, 1)).reshape(m, b, L, q)
+
+    return (
+        to_mblq(log_gamma),
+        ll,
+        to_mblq(log_alpha[:, :, :q, :R]),
     )
-    return lg.reshape(m, b, L, q), ll, la_mb
 
 
 def _posterior_chunked_xla(init, A, E, P, no_loglik):
@@ -617,53 +643,57 @@ def _chunked_affine_reverse(B, u, v, cvec, P):
     """Chunked solve of ``x_t = cvec_t + u_t * (B @ (v_t * x_{t+1}))``
     (terminal ``x_L = 0``) — dispatches to the Pallas kernels on TPU."""
     m, _, _, q = cvec.shape
-    if pallas_adjoint.supported(q) and m <= 4 and _pallas_backend_ok():
+    if pallas_adjoint.supported(q) and _pallas_backend_ok():
         return _chunked_affine_reverse_pallas(B, u, v, cvec, P)
     return _chunked_affine_reverse_xla(B, u, v, cvec, P)
 
 
 def _chunked_affine_reverse_pallas(B, u, v, cvec, P):
-    """Pallas path of :func:`_chunked_affine_reverse`: per-model kernel
-    summary/output passes around the XLA boundary fold (the model axis is
-    a static loop because B differs per model — the posterior VJP stacks
-    [A; A^T])."""
+    """Pallas path of :func:`_chunked_affine_reverse`: vmapped kernel
+    summary/output passes around the XLA boundary fold (the model axis —
+    the posterior VJP stacks [A; A^T] — becomes a leading grid dim)."""
     m, b, L, q = cvec.shape
     c = L // P
     R = b * P
     R_pad = pallas_viterbi.pad_chunk_elements(R)
     interpret = pallas_viterbi.FORCE_INTERPRET
 
-    def lanes(x):  # (b, L, q) -> (c, q, R_pad), zero-padded lanes
-        xc = jnp.moveaxis(x.reshape(b * P, c, q), 1, 0)
-        return _pad_lanes(jnp.swapaxes(xc, -1, -2), R_pad)
+    def lanes(x):  # (m, b, L, q) -> (m, c, q, R_pad), zero-padded lanes
+        xc = jnp.moveaxis(x.reshape(m, b * P, c, q), 1, -1)  # (m, c, q, R)
+        return _pad_lanes(xc, R_pad)
 
-    xs = []
-    for mi in range(m):
-        U, V, S = lanes(u[mi]), lanes(v[mi]), lanes(cvec[mi])
-        comp = pallas_adjoint.affine_chunk_composites(
-            B[mi], U, V, S, interpret=interpret
-        )[:R]  # (R, q, q+1)
-        compP = jnp.moveaxis(comp.reshape(b, P, q, q + 1), 1, 0)
-
-        def fold(vb, comp_p):
-            x_start = comp_p[..., -1] + jnp.einsum(
-                "bij,bj->bi", comp_p[..., :q], vb, precision=_PRECISION
-            )
-            return x_start, vb
-
-        _, rights = lax.scan(
-            fold, jnp.zeros((b, q), cvec.dtype), compP, reverse=True
-        )  # rights[p] = x entering chunk p's right edge
-        x_right = jnp.moveaxis(rights, 0, 1).reshape(R, q)
-        x0 = _pad_lanes(
-            jnp.pad(x_right.T, ((0, pallas_viterbi.PAD - q), (0, 0))), R_pad
+    U, V, S = lanes(u), lanes(v), lanes(cvec)
+    comp = jax.vmap(
+        lambda B1, U1, V1, S1: pallas_adjoint.affine_chunk_composites(
+            B1, U1, V1, S1, interpret=interpret
         )
-        out = pallas_adjoint.affine_reverse_outputs(
-            B[mi], U, V, S, x0, interpret=interpret
-        )  # (c, PAD, R_pad)
-        x = jnp.moveaxis(out[:, :q, :R], (0, 1, 2), (1, 2, 0))  # (R, c, q)
-        xs.append(x.reshape(b, L, q))
-    return jnp.stack(xs)
+    )(B, U, V, S)[:, :R]  # (m, R, q, q+1)
+    compP = jnp.moveaxis(comp.reshape(m, b, P, q, q + 1), 2, 0)
+
+    def fold(vb, comp_p):
+        x_start = comp_p[..., -1] + jnp.einsum(
+            "mbij,mbj->mbi", comp_p[..., :q], vb, precision=_PRECISION
+        )
+        return x_start, vb
+
+    _, rights = lax.scan(
+        fold, jnp.zeros((m, b, q), cvec.dtype), compP, reverse=True
+    )  # rights[p] = x entering chunk p's right edge; (P, m, b, q)
+    x_right = jnp.moveaxis(rights, 0, 2).reshape(m, R, q)
+    x0 = _pad_lanes(
+        jnp.pad(
+            jnp.swapaxes(x_right, -1, -2),
+            ((0, 0), (0, pallas_viterbi.PAD - q), (0, 0)),
+        ),
+        R_pad,
+    )
+    out = jax.vmap(
+        lambda B1, U1, V1, S1, x1: pallas_adjoint.affine_reverse_outputs(
+            B1, U1, V1, S1, x1, interpret=interpret
+        )
+    )(B, U, V, S, x0)  # (m, c, PAD, R_pad)
+    x = jnp.moveaxis(out[:, :, :q, :R], (1, 2, 3), (2, 3, 1))  # (m, R, c, q)
+    return x.reshape(m, b, L, q)
 
 
 def _chunked_affine_reverse_xla(B, u, v, cvec, P):
@@ -1006,18 +1036,26 @@ def _viterbi_chunked(init, A, E, parallel_factor):
         # Pallas TPU kernel: pins the carry layout (operators on sublanes,
         # chunk elements on lanes) that XLA's layout assignment keeps
         # pessimizing in the composed pipeline — 0.73 ms vs ~12 ms for the
-        # XLA scan at q=15, b=32, L=9999, P=99 on TPU v5e.
+        # XLA scan at q=15, b=32, L=9999, P=99 on TPU v5e. Multi-model
+        # batches vmap over the wrappers (leading grid dimension).
+        interpret = pallas_viterbi.FORCE_INTERPRET
         R = b * P
         R_pad = pallas_viterbi.pad_chunk_elements(R)
-        E_T = jnp.swapaxes(Et[:, 0], -1, -2)  # (c, q, bP)
+        E_T = jnp.moveaxis(Ec, 1, -1)  # (m, c, q, R)
         if R_pad != R:
-            E_T = jnp.pad(E_T, ((0, 0), (0, 0), (0, R_pad - R)))
-        C_T_flat = pallas_viterbi.maxplus_chunk_summaries(
-            log_A[0], E_T, P, interpret=pallas_viterbi.FORCE_INTERPRET
-        )[:R]  # (R, q, q) transposed operators, b-major chunk-minor
+            E_T = jnp.pad(
+                E_T,
+                ((0, 0), (0, 0), (0, 0), (0, R_pad - R)),
+                constant_values=_NEG,
+            )
+        C_T_flat = jax.vmap(
+            lambda A1, E1: pallas_viterbi.maxplus_chunk_summaries(
+                A1, E1, P, interpret=interpret
+            )
+        )(log_A, E_T)[:, :R]  # (m, R, q, q) transposed, b-major chunk-minor
         C_T = jnp.moveaxis(
-            C_T_flat.reshape(1, b, P, q, q), 2, 0
-        )  # (P, m=1, b, q, q)
+            C_T_flat.reshape(m, b, P, q, q), 2, 0
+        )  # (P, m, b, q, q)
         T = _viterbi_boundaries(log_init, C_T)
         j_end = _boundary_backtrace(T, C_T)  # (P, m, b) int32
 
@@ -1025,24 +1063,21 @@ def _viterbi_chunked(init, A, E, parallel_factor):
         # (see _viterbi_chunked_combine for why conditioning on the decoded
         # border state is required for a valid-path guarantee).
         first_start = jnp.broadcast_to(log_init[:, None, :], (m, b, q))
-        r0, last_state_mb = _conditional_viterbi_starts(
+        r0, last_state = _conditional_viterbi_starts(
             first_start, log_A, j_end
-        )
-        delta0 = jnp.swapaxes((r0 + Et[0])[0], 0, 1)  # (q, R)
-        last_state = last_state_mb[0]  # (R,)
+        )  # (m, bP, q), (m, bP)
+        delta0 = jnp.swapaxes(r0, -1, -2) + E_T[:, 0, :, :R]  # (m, q, R)
         if R_pad != R:
             delta0 = jnp.pad(
-                delta0, ((0, 0), (0, R_pad - R)), constant_values=_NEG
+                delta0, ((0, 0), (0, 0), (0, R_pad - R)), constant_values=_NEG
             )
-            last_state = jnp.pad(last_state, (0, R_pad - R))
-        states = pallas_viterbi.maxplus_decode(
-            log_A[0],
-            E_T,
-            delta0,
-            last_state,
-            interpret=pallas_viterbi.FORCE_INTERPRET,
-        )[:, :R]  # (c, R)
-        return jnp.swapaxes(states, 0, 1).reshape(m, b, L)
+            last_state = jnp.pad(last_state, ((0, 0), (0, R_pad - R)))
+        states = jax.vmap(
+            lambda A1, E1, d1, s1: pallas_viterbi.maxplus_decode(
+                A1, E1, d1, s1, interpret=interpret
+            )
+        )(log_A, E_T, delta0, last_state)[:, :, :R]  # (m, c, R)
+        return jnp.swapaxes(states, -1, -2).reshape(m, b, L)
 
     C_T = _viterbi_chunk_summaries(log_A, log_A_T, Et, m, b, q, P)
     return _viterbi_chunked_combine(

@@ -36,8 +36,10 @@ from ..ops.recursion import (
     _boundary_backtrace,
     _chunk_summaries,
     _clamped,
+    _forward_boundary_starts,
     _forward_outputs,
     _split_chunks,
+    _summaries_from_rows,
     _viterbi_boundaries,
     _viterbi_chunk_summaries,
     _viterbi_outputs,
@@ -54,10 +56,18 @@ __all__ = [
     "data_parallel_fn",
     "state_sharded_log_likelihood",
     "state_sharded_posterior",
+    "state_sharded_viterbi",
     "seq_sharded_log_likelihood",
     "seq_sharded_posterior",
     "seq_sharded_viterbi",
 ]
+
+
+def _plogsumexp(x, axis_name):
+    """Elementwise log-sum-exp reduction across a mesh axis."""
+    m = lax.pmax(x, axis_name)
+    safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    return jnp.log(lax.psum(jnp.exp(x - safe), axis_name)) + safe
 
 
 def init_distributed(**kwargs) -> None:
@@ -144,15 +154,108 @@ def data_parallel_fn(
 # ---------------------------------------------------------------------------
 
 
+def _border_sharded_chunk_operators(
+    A_l, E_l, P_local, n_state, idx, state_axis, first_chunk_identity=True
+):
+    """Chunk transfer operators with the left-border axis sharded.
+
+    The chunk-summary scan conditions on every possible left-border state —
+    an embarrassingly parallel axis: each device computes the operator ROWS
+    for its border-state block using the full (replicated, tiny) ``A`` and
+    full emissions, with **zero per-step collectives**. This is the
+    state-sharded path that keeps the O(b·P·q²) operator carry partitioned
+    (the q² carry is the memory hog at 500+ states, BASELINE config 5).
+
+    Returns C_l: (P, m, b, q_l, q) log-space operator row-blocks.
+    """
+    m, b, L, q = E_l.shape
+    q_l = q // n_state
+    col0 = idx * q_l
+    Ec, c = _split_chunks(E_l, P_local)
+    Et = jnp.moveaxis(Ec, 2, 0)  # (c, m, bP, q)
+
+    rows = col0 + jnp.arange(q_l)
+    eye_rows = jax.nn.one_hot(rows, q, dtype=E_l.dtype)  # (q_l, q)
+    A_rows = lax.dynamic_slice_in_dim(A_l, col0, q_l, axis=1)  # (m, q_l, q)
+    is_first = jnp.asarray(
+        (jnp.arange(P_local) == 0) & first_chunk_identity, E_l.dtype
+    )[None, None, :, None, None]
+    R0 = (
+        is_first * eye_rows[None, None, None]
+        + (1.0 - is_first) * A_rows[:, None, None]
+    )
+    R0 = jnp.broadcast_to(R0, (m, b, P_local, q_l, q)).reshape(
+        m, b * P_local, q_l, q
+    )
+    C_l = _summaries_from_rows(A_l, Et, R0)  # (m, bP, q_l, q)
+    return jnp.moveaxis(C_l.reshape(m, b, P_local, q_l, q), 2, 0)
+
+
+def _sharded_boundary_folds(
+    init_l, C_l, state_axis, q_l, idx, want_backward=True
+):
+    """Forward/backward values at chunk boundaries from row-sharded operators.
+
+    Sequential log-matvec folds over the P chunks (O(P·q²) — cheaper than
+    the dense engine's associative matmul scan at large q) with one tiny
+    collective per chunk: the forward fold contracts over the sharded
+    border axis (partial LSE + cross-device LSE), the backward fold
+    contracts over the full column axis and all-gathers its q_l-row result.
+
+    Returns (T, S, ll) with the `_boundary_values` conventions; S is None
+    when ``want_backward=False``.
+    """
+    P_, m, b = C_l.shape[:3]
+    q = C_l.shape[-1]
+    col0 = idx * q_l
+    log_init = jnp.log(_clamped(init_l))  # (m, q)
+    v0 = jnp.broadcast_to(log_init[:, None, :], (m, b, q))
+
+    def fstep(v, C_p):
+        v_rows = lax.dynamic_slice_in_dim(v, col0, q_l, axis=-1)
+        part = jax.nn.logsumexp(v_rows[..., :, None] + C_p, axis=-2)
+        v_new = _plogsumexp(part, state_axis)
+        return v_new, v_new
+
+    _, T = lax.scan(fstep, v0, C_l)  # (P, m, b, q)
+    ll = jax.nn.logsumexp(T[-1], axis=-1)
+    if not want_backward:
+        return T, None, ll
+
+    w0 = jnp.zeros((m, b, q), C_l.dtype)
+
+    def bstep(w, C_p):
+        # Emit S[p] = w (backward at chunk p's end), then fold chunk p.
+        w_rows = jax.nn.logsumexp(C_p + w[..., None, :], axis=-1)  # (m,b,q_l)
+        w_new = lax.all_gather(w_rows, state_axis, axis=-1, tiled=True)
+        return w_new, w
+
+    _, S = lax.scan(bstep, w0, C_l, reverse=True)  # (P, m, b, q)
+    return T, S, ll
+
+
 def state_sharded_log_likelihood(
-    init, A, E, mesh: Mesh, state_axis: str = "state", data_axis: str | None = None
+    init,
+    A,
+    E,
+    mesh: Mesh,
+    state_axis: str = "state",
+    data_axis: str | None = None,
+    parallel_factor: int = 1,
 ):
     """Log-likelihood with the state dimension sharded across devices.
 
-    Shards: ``A`` by rows (contraction dim) AND columns jointly is not
-    needed — each device holds the row block ``A[shard_i, :]`` and the
-    alpha/emission column block; every step computes the partial product
-    ``alpha_local @ A_local`` and ``psum``s over the state axis.
+    ``parallel_factor == 1``: sequential scaled scan; each device holds the
+    row block ``A[shard_i, :]`` and the alpha/emission column block; every
+    step computes the partial product ``alpha_local @ A_local`` and
+    ``psum``s over the state axis.
+
+    ``parallel_factor > 1``: chunk-parallel engine with the *left-border*
+    axis of the chunk operators sharded
+    (:func:`_border_sharded_chunk_operators`) — the summary pass runs with
+    zero per-step collectives and the O(b·P·q²) operator carry partitioned;
+    only the O(P) boundary fold communicates (one tiny LSE-reduce per
+    chunk).
 
     Args:
         init: (m, q); A: (m, q, q); E: (m, b, L, q). ``q`` must be divisible
@@ -164,6 +267,31 @@ def state_sharded_log_likelihood(
     q = E.shape[-1]
     assert q % n_state == 0, f"q={q} not divisible by state axis size {n_state}"
     batch_spec = data_axis
+
+    if parallel_factor > 1:
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(
+                P(None, None),
+                P(None, None, None),
+                P(None, batch_spec, None, None),
+            ),
+            out_specs=P(None, batch_spec),
+            check_vma=False,
+        )
+        def _ll_chunked(init_l, A_l, E_l):
+            idx = lax.axis_index(state_axis)
+            C_l = _border_sharded_chunk_operators(
+                A_l, E_l, parallel_factor, n_state, idx, state_axis
+            )
+            _, _, ll = _sharded_boundary_folds(
+                init_l, C_l, state_axis, q // n_state, idx, want_backward=False
+            )
+            return ll
+
+        return _ll_chunked(init, A, E)
 
     in_specs = (
         P(None, state_axis),  # init (m, q)
@@ -214,15 +342,25 @@ def state_sharded_posterior(
     state_axis: str = "state",
     data_axis: str | None = None,
     no_loglik: bool = False,
+    parallel_factor: int = 1,
 ):
     """Posterior state log-probabilities with the state dimension sharded.
 
     For 500+-state models (multi-copy gene-pred HMMs, BASELINE config 5)
-    where a q x q chunk operator would not fit: sequential scaled forward
-    and backward scans with alpha/beta columns sharded over ``state_axis``;
-    each step computes the partial contraction against the local A block
-    and reduces with ``psum``. The transition matrix is consumed twice —
-    row-sharded (forward) and column-sharded (backward).
+    where a q x q chunk operator would not fit.
+
+    ``parallel_factor == 1``: sequential scaled forward and backward scans
+    with alpha/beta columns sharded over ``state_axis``; each step computes
+    the partial contraction against the local A block and reduces with
+    ``psum``. The transition matrix is consumed twice — row-sharded
+    (forward) and column-sharded (backward).
+
+    ``parallel_factor > 1``: chunk-parallel engine with the operator rows
+    border-sharded (zero per-step collectives in the dominant O(L·q³/P·P)
+    summary pass, :func:`_border_sharded_chunk_operators`); the cheap
+    O(L·q²) output passes run redundantly on full state vectors (a few
+    percent of the summary FLOPs at q >= 500) and each device emits its
+    posterior column block.
 
     Returns:
         (log_gamma (m, b, L, q) sharded on q, loglik (m, b)).
@@ -230,6 +368,44 @@ def state_sharded_posterior(
     n_state = mesh.shape[state_axis]
     q = E.shape[-1]
     assert q % n_state == 0, f"q={q} not divisible by state axis size {n_state}"
+
+    if parallel_factor > 1:
+        q_l = q // n_state
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(
+                P(None, None),
+                P(None, None, None),
+                P(None, data_axis, None, None),
+            ),
+            out_specs=(
+                P(None, data_axis, None, state_axis),
+                P(None, data_axis),
+            ),
+            check_vma=False,
+        )
+        def _post_chunked(init_l, A_l, E_l):
+            idx = lax.axis_index(state_axis)
+            col0 = idx * q_l
+            C_l = _border_sharded_chunk_operators(
+                A_l, E_l, parallel_factor, n_state, idx, state_axis
+            )
+            T, S, ll = _sharded_boundary_folds(
+                init_l, C_l, state_axis, q_l, idx
+            )
+            la = _forward_outputs(init_l, A_l, E_l, T, parallel_factor)
+            lb = _backward_outputs(A_l, E_l, S, parallel_factor)
+            log_gamma = la + lb
+            if not no_loglik:
+                log_gamma = log_gamma - ll[..., None, None]
+            return (
+                lax.dynamic_slice_in_dim(log_gamma, col0, q_l, axis=-1),
+                ll,
+            )
+
+        return _post_chunked(init, A, E)
 
     in_specs = (
         P(None, state_axis),  # init (m, q)
@@ -302,6 +478,102 @@ def state_sharded_posterior(
         return log_gamma, ll
 
     return _post(init, A, A, E)
+
+
+def state_sharded_viterbi(
+    init,
+    A,
+    E,
+    mesh: Mesh,
+    state_axis: str = "state",
+    data_axis: str | None = None,
+):
+    """Viterbi decode with the state dimension sharded across devices.
+
+    The 500+-state decode path (BASELINE config 5): a sequential max-plus
+    scan with the delta columns and ``A`` row-blocks sharded over
+    ``state_axis``. Each step reduces the partial per-column maxima with
+    ``pmax`` and resolves the *global* argmax with a ``pmin`` over
+    tied candidates (device d's global state indices all precede device
+    d+1's, so the min over tied first-attaining indices reproduces
+    ``jnp.argmax`` tie-breaking exactly). Backpointer columns stay local;
+    the backtrace walks the chain with one masked ``psum`` per step to
+    fetch the pointer from its owning device.
+
+    The result is a BACKTRACE (valid-path guarantee preserved — see
+    ``ops.recursion._boundary_backtrace`` for why positionwise argmax
+    decoding is not f32-safe).
+
+    Returns:
+        states (m, b, L) int32, replicated over the state axis.
+    """
+    n_state = mesh.shape[state_axis]
+    q = E.shape[-1]
+    assert q % n_state == 0, f"q={q} not divisible by state axis size {n_state}"
+    q_l = q // n_state
+
+    in_specs = (
+        P(None, state_axis),  # init columns
+        P(None, state_axis, None),  # A rows sharded (contraction dim)
+        P(None, data_axis, None, state_axis),  # E columns sharded
+    )
+    out_specs = P(None, data_axis, None)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    def _vit(init_l, A_l, E_l):
+        m, b, L, _ = E_l.shape
+        idx = lax.axis_index(state_axis)
+        col0 = idx * q_l
+        log_A_l = jnp.log(_clamped(A_l))  # (m, q_l, q) rows local
+        log_E = jnp.log(_clamped(E_l))
+        Et = jnp.moveaxis(log_E, 2, 0)  # (L, m, b, q_l)
+        delta0 = jnp.log(_clamped(init_l))[:, None, :] + Et[0]  # (m, b, q_l)
+
+        def resolve_argmax(best_l, arg_l):
+            best = lax.pmax(best_l, state_axis)
+            arg = lax.pmin(
+                jnp.where(best_l >= best, arg_l, q), state_axis
+            )
+            return best, arg
+
+        def step(delta_l, e_t):
+            # scores[k_local, p] = delta[k] + log_A[k, p] over all columns p.
+            scores = delta_l[..., :, None] + log_A_l[:, None]  # (m,b,q_l,q)
+            best_l = jnp.max(scores, axis=-2)
+            arg_l = (col0 + jnp.argmax(scores, axis=-2)).astype(jnp.int32)
+            best, arg = resolve_argmax(best_l, arg_l)
+            delta_new = (
+                lax.dynamic_slice_in_dim(best, col0, q_l, axis=-1) + e_t
+            )
+            bp_cols = lax.dynamic_slice_in_dim(arg, col0, q_l, axis=-1)
+            return delta_new, bp_cols
+
+        delta_l, bps = lax.scan(step, delta0, Et[1:])  # bps (L-1, m, b, q_l)
+
+        best_l = jnp.max(delta_l, axis=-1)
+        arg_l = (col0 + jnp.argmax(delta_l, axis=-1)).astype(jnp.int32)
+        _, last = resolve_argmax(best_l, arg_l)  # (m, b) global last state
+
+        def backstep(state, bp_t):
+            local = state - col0
+            in_range = (local >= 0) & (local < q_l)
+            val = jnp.take_along_axis(
+                bp_t, jnp.clip(local, 0, q_l - 1)[..., None], axis=-1
+            )[..., 0]
+            prev = lax.psum(jnp.where(in_range, val, 0), state_axis)
+            return prev, prev
+
+        _, path_rev = lax.scan(backstep, last, bps, reverse=True)
+        path = jnp.concatenate([path_rev, last[None]], axis=0)  # (L, m, b)
+        return jnp.moveaxis(path, 0, 2)
+
+    return _vit(init, A, E)
 
 
 # ---------------------------------------------------------------------------

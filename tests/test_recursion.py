@@ -580,3 +580,60 @@ class TestPosteriorSampling:
             np.testing.assert_allclose(
                 emp, p / Z, atol=4.5 * np.sqrt(0.25 / S)
             ), path
+
+
+class TestMultiModelPallas:
+    """Multi-model (m > 1) dispatch through the vmapped Pallas kernels —
+    the model axis becomes a leading grid dimension. Covers the
+    fit_select-style workload (n gene-pred models trained jointly)."""
+
+    def _stack_m(self, m, q, L, b, peaked=False, seed=11):
+        rng = np.random.default_rng(seed)
+        hmms = [random_hmm(rng, q=q, L=L, b=b, peaked=peaked) for _ in range(m)]
+        init = np.stack([h[0] for h in hmms])
+        A = np.stack([h[1] for h in hmms])
+        E = np.stack([h[2] for h in hmms])
+        return jnp.asarray(init), jnp.asarray(A), jnp.asarray(E)
+
+    def test_posterior_loglik_m3(self, monkeypatch):
+        from hmm_layer_tpu.ops import pallas_viterbi
+
+        monkeypatch.setattr(pallas_viterbi, "FORCE_INTERPRET", True)
+        init, A, E = self._stack_m(3, q=15, L=32, b=2)
+        assert recursion._use_pallas(15, 3)
+        lg1, ll1 = recursion.posterior(init, A, E, parallel_factor=1)
+        lgP, llP = recursion.posterior(init, A, E, parallel_factor=4)
+        np.testing.assert_allclose(np.asarray(llP), np.asarray(ll1), rtol=2e-4)
+        np.testing.assert_allclose(
+            np.asarray(lgP), np.asarray(lg1), rtol=1e-3, atol=2e-3
+        )
+        llo = recursion.log_likelihood(init, A, E, parallel_factor=4)
+        np.testing.assert_allclose(np.asarray(llo), np.asarray(ll1), rtol=2e-4)
+
+    def test_viterbi_m3(self, monkeypatch):
+        from hmm_layer_tpu.ops import pallas_viterbi
+
+        monkeypatch.setattr(pallas_viterbi, "FORCE_INTERPRET", True)
+        init, A, E = self._stack_m(3, q=15, L=32, b=2, peaked=True)
+        p1 = recursion.viterbi(init, A, E, parallel_factor=1)
+        pP = recursion.viterbi(init, A, E, parallel_factor=4)
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(pP))
+
+    def test_gradients_m2(self, monkeypatch):
+        # Analytic VJPs (incl. the vmapped Pallas adjoint solves, which the
+        # posterior VJP drives at 2m stacked models) vs sequential autodiff.
+        from hmm_layer_tpu.ops import pallas_viterbi
+
+        monkeypatch.setattr(pallas_viterbi, "FORCE_INTERPRET", True)
+        init, A, E = self._stack_m(2, q=15, L=24, b=2)
+
+        def loss(e, pf):
+            lg, ll = recursion.posterior(init, A, e, parallel_factor=pf)
+            return jnp.sum(lg * lg) + jnp.sum(ll)
+
+        g1 = jax.grad(lambda e: loss(e, 1))(E)
+        gP = jax.grad(lambda e: loss(e, 4))(E)
+        scale = np.abs(np.asarray(g1)).max()
+        np.testing.assert_allclose(
+            np.asarray(gP) / scale, np.asarray(g1) / scale, atol=5e-4
+        )

@@ -246,6 +246,97 @@ class TestStateShardedPosterior:
         )
 
 
+class TestStateShardedChunked:
+    """parallel_factor > 1: border-sharded chunk operators (zero per-step
+    collectives in the summary pass)."""
+
+    @pytest.mark.parametrize("n_state", [2, 4])
+    def test_loglik_matches_dense(self, n_state):
+        init, A, E = random_hmm(RNG, q=8, L=24, b=3)
+        init, A, E = _stack(init, A, E)
+        mesh = sharding.make_mesh({"state": n_state})
+        ll_ref = recursion.log_likelihood(init, A, E)
+        ll = sharding.state_sharded_log_likelihood(
+            jnp.asarray(init), jnp.asarray(A), jnp.asarray(E), mesh,
+            parallel_factor=4,
+        )
+        np.testing.assert_allclose(ll, ll_ref, rtol=1e-4)
+
+    @pytest.mark.parametrize("n_state", [2, 4])
+    def test_posterior_matches_dense(self, n_state):
+        init, A, E = random_hmm(RNG, q=8, L=24, b=3)
+        init, A, E = _stack(init, A, E)
+        mesh = sharding.make_mesh({"state": n_state})
+        lg_ref, ll_ref = recursion.posterior(init, A, E)
+        lg, ll = sharding.state_sharded_posterior(
+            jnp.asarray(init), jnp.asarray(A), jnp.asarray(E), mesh,
+            parallel_factor=3,
+        )
+        np.testing.assert_allclose(ll, ll_ref, rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(lg), np.asarray(lg_ref), rtol=1e-3, atol=2e-3
+        )
+
+    def test_posterior_with_data_axis_no_loglik(self):
+        init, A, E = random_hmm(RNG, q=8, L=16, b=4)
+        init, A, E = _stack(init, A, E)
+        mesh = sharding.make_mesh({"data": 2, "state": 4})
+        lg_ref, _ = recursion.posterior(init, A, E, no_loglik=True)
+        lg, _ = sharding.state_sharded_posterior(
+            jnp.asarray(init),
+            jnp.asarray(A),
+            jnp.asarray(E),
+            mesh,
+            data_axis="data",
+            no_loglik=True,
+            parallel_factor=2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(lg), np.asarray(lg_ref), rtol=1e-3, atol=2e-3
+        )
+
+
+class TestStateShardedViterbi:
+    @pytest.mark.parametrize("n_state", [2, 4])
+    def test_matches_dense(self, n_state):
+        init, A, E = random_hmm(RNG, q=8, L=32, b=3, peaked=True)
+        init, A, E = _stack(init, A, E)
+        mesh = sharding.make_mesh({"state": n_state})
+        ref = recursion.viterbi(init, A, E)
+        paths = sharding.state_sharded_viterbi(
+            jnp.asarray(init), jnp.asarray(A), jnp.asarray(E), mesh
+        )
+        np.testing.assert_array_equal(np.asarray(paths), np.asarray(ref))
+
+    def test_composed_with_data_axis(self):
+        init, A, E = random_hmm(RNG, q=8, L=24, b=4, peaked=True)
+        init, A, E = _stack(init, A, E)
+        mesh = sharding.make_mesh({"data": 2, "state": 4})
+        ref = recursion.viterbi(init, A, E)
+        paths = sharding.state_sharded_viterbi(
+            jnp.asarray(init),
+            jnp.asarray(A),
+            jnp.asarray(E),
+            mesh,
+            data_axis="data",
+        )
+        np.testing.assert_array_equal(np.asarray(paths), np.asarray(ref))
+
+    def test_flat_scores_tie_break_matches_argmax(self):
+        # Uniform-ish HMM: many near-ties; the pmin resolution must still
+        # reproduce jnp.argmax (first index) semantics exactly.
+        q, L, b = 8, 12, 2
+        init = np.full((1, q), 1.0 / q, np.float32)
+        A = np.full((1, q, q), 1.0 / q, np.float32)
+        E = np.ones((1, b, L, q), np.float32) * 0.5
+        mesh = sharding.make_mesh({"state": 4})
+        ref = recursion.viterbi(jnp.asarray(init), jnp.asarray(A), jnp.asarray(E))
+        paths = sharding.state_sharded_viterbi(
+            jnp.asarray(init), jnp.asarray(A), jnp.asarray(E), mesh
+        )
+        np.testing.assert_array_equal(np.asarray(paths), np.asarray(ref))
+
+
 class TestConfig5Integration:
     """BASELINE config 5: multi-copy gene-pred HMM, state-sharded, padded q."""
 
@@ -296,3 +387,23 @@ class TestConfig5Integration:
         np.testing.assert_allclose(
             np.asarray(lg)[..., :q], np.asarray(lg_ref), rtol=1e-3, atol=2e-3
         )
+
+        # Chunk-parallel state-sharded posterior (border-sharded operators).
+        # Reference: the dense CHUNKED engine at the same parallel_factor —
+        # sequential vs chunked differ by clamp noise on structurally-
+        # impossible states (log-posterior ~ -64) of this sparse grammar.
+        lg_cref, _ = recursion.posterior(init, A, E, 3)
+        lg_c, ll_c = sharding.state_sharded_posterior(
+            init_p, A_p, E_p, mesh, parallel_factor=3
+        )
+        np.testing.assert_allclose(
+            np.asarray(ll_c), np.asarray(ll_ref), rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(lg_c)[..., :q], np.asarray(lg_cref), rtol=1e-3, atol=2e-3
+        )
+
+        # 127-state decode: state-sharded Viterbi must equal dense decode.
+        ref_paths = recursion.viterbi(init, A, E)
+        paths = sharding.state_sharded_viterbi(init_p, A_p, E_p, mesh)
+        np.testing.assert_array_equal(np.asarray(paths), np.asarray(ref_paths))
