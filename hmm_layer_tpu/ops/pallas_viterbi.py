@@ -38,14 +38,36 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["maxplus_chunk_summaries", "supported"]
+__all__ = [
+    "maxplus_chunk_summaries",
+    "maxplus_decode",
+    "maxplus_deltas",
+    "maxplus_backtrace",
+    "supported",
+    "supported_decode",
+]
 
 _NEG = np.float32(-1e30)
-PAD = 16  # padded state count (sublane quantum); kernel supports q <= 16
+PAD = 16  # padded state count (sublane quantum); chunked kernels need q <= 16
+# The blocked (multi-sublane-tile) delta/backtrace kernels extend the
+# *sequential* decode to larger state counts; beyond ~64 states the VPU
+# max-tree (q^2 element ops per step) falls behind the XLA sequential scan.
+MAX_BLOCKED_Q = 64
 MAX_SINGLE_BLOCK_R = 4096  # one right-sized lane block when it fits in VMEM
 # Test hook: route the chunked-Viterbi dispatch through the kernel in
 # interpreter mode even on CPU (see ops.recursion._viterbi_chunked).
 FORCE_INTERPRET = False
+
+
+def _pad_states(q: int) -> int:
+    """Sublane-padded state count: 16 for the chunked-kernel layout, else
+    the next multiple of 8 (f32 sublane quantum)."""
+    return PAD if q <= PAD else -(-q // 8) * 8
+
+
+def supported_decode(q: int) -> bool:
+    """Shapes covered by the sequential Pallas delta/backtrace decode."""
+    return q <= MAX_BLOCKED_Q
 
 
 def choose_block_r(R: int) -> int:
@@ -244,6 +266,240 @@ def _backtrace_kernel(c: int, q: int, br: int, Av_ref, j_ref, d_ref, out_ref, S)
     out_ref[0] = S[:, :]
 
 
+def _time_block(c: int) -> int:
+    """Timesteps per grid step for the blocked kernels — per-grid-step
+    overhead dominates the small per-step VPU work, so batch several
+    timesteps per DMA block (largest of 8..1 dividing c)."""
+    for tb in (8, 6, 4, 3, 2):
+        if c % tb == 0:
+            return tb
+    return 1
+
+
+def _fwd_kernel_blocked(TB: int, q: int, qp: int, br: int, At_ref, d0_ref, e_ref, out_ref, D):
+    """Blocked-state delta pass for q > 16 (qp = 8-padded state count).
+
+    Output states are processed 8 sublanes at a time against a VMEM-resident
+    transposed transition matrix: ``acc8 = max_k (At[p8, k] + delta[k])``
+    with (8, 1) x (1, br) broadcast terms — full sublane utilization vs the
+    per-row formulation of :func:`_fwd_kernel` (q^2 single-row ops). Each
+    grid step advances ``TB`` timesteps (e/out blocks are (TB, qp, br)).
+    """
+    g = pl.program_id(1)
+
+    def step(tt):
+        for pt in range(qp // 8):
+            ps = pt * 8
+            acc = At_ref[ps : ps + 8, 0:1] + D[0:1, :]
+            for k in range(1, q):
+                acc = jnp.maximum(
+                    acc, At_ref[ps : ps + 8, k : k + 1] + D[k : k + 1, :]
+                )
+            out_ref[tt, ps : ps + 8, :] = acc + e_ref[tt, ps : ps + 8, :]
+        D[:, :] = out_ref[tt]
+
+    for tt in range(TB):
+        if tt == 0:
+
+            @pl.when(g == 0)
+            def _init():
+                D[:, :] = d0_ref[:, :]
+                out_ref[0] = d0_ref[:, :]
+
+            @pl.when(g > 0)
+            def _step0():
+                step(0)
+
+        else:
+            step(tt)
+
+
+def _backtrace_kernel_blocked(TB: int, q: int, qp: int, br: int, Av_ref, j_ref, d_ref, out_ref, S):
+    """Blocked-state within-sequence backtrace (select tree over columns).
+
+    Walks time in reverse; grid step ``g`` covers the TB positions of time
+    block ``n_blocks - 1 - g`` (via the index maps), innermost reversed.
+    """
+    g = pl.program_id(1)
+
+    def step(tt):
+        st = S[:, :]  # (1, br) — state_{t+1}
+        acc = jnp.full((qp, br), _NEG)
+        for p in range(q):
+            acc = jnp.where(st == p, Av_ref[:, p : p + 1], acc)
+        w = d_ref[tt] + acc
+        vmax = jnp.max(w, axis=0, keepdims=True)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (qp, br), 0)
+        S[:, :] = jnp.min(jnp.where(w >= vmax, idx, qp), axis=0, keepdims=True)
+        out_ref[tt] = S[:, :]
+
+    for tt in reversed(range(TB)):
+        if tt == TB - 1:
+
+            @pl.when(g == 0)
+            def _init():
+                S[:, :] = j_ref[:, :]
+                out_ref[TB - 1] = S[:, :]
+
+            @pl.when(g > 0)
+            def _stepl():
+                step(TB - 1)
+
+        else:
+            step(tt)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def maxplus_deltas(log_A, log_E_T, delta0, interpret: bool = False):
+    """Max-plus forward (delta) values at every position.
+
+    Args:
+        log_A: (q, q) log transition matrix.
+        log_E_T: (c, q, R) log emissions, time-major and state-transposed
+            (lanes = chunk elements, or plain batch for sequential decode).
+        delta0: (q, R) max-plus forward value at the first position
+            (conditional start + first emission).
+
+    Returns:
+        deltas: (c, qp, R) f32 — rows >= q are garbage (sliced by caller);
+        ``qp`` is the sublane-padded state count.
+    """
+    c, q, R = log_E_T.shape
+    br = choose_block_r(R)
+    qp = _pad_states(q)
+    if q > MAX_BLOCKED_Q:
+        raise ValueError(
+            f"pallas viterbi decode supports q <= {MAX_BLOCKED_Q}, got {q}"
+        )
+    if R % br:
+        raise ValueError(f"R={R} must be padded to a multiple of {br}")
+
+    A_pad = jnp.full((qp, qp), _NEG, jnp.float32)
+    A_pad = A_pad.at[:q, :q].set(log_A.astype(jnp.float32))
+    pad_rows = ((0, 0), (0, qp - q), (0, 0))
+    E_pad = log_E_T
+    if q < qp:
+        E_pad = jnp.pad(log_E_T, pad_rows, constant_values=_NEG)
+    d0 = jnp.pad(delta0[None], pad_rows, constant_values=_NEG)[0]
+
+    if q <= PAD:
+        return pl.pallas_call(
+            partial(_fwd_kernel, c, q, br),
+            grid=(R // br, c),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (qp, br), lambda j, t: (0, j), memory_space=pltpu.VMEM
+                ),  # delta0
+                pl.BlockSpec(
+                    (1, qp, br),
+                    lambda j, t: (t, 0, j),
+                    memory_space=pltpu.VMEM,
+                ),  # emissions at t
+            ],
+            out_specs=pl.BlockSpec(
+                (1, qp, br), lambda j, t: (t, 0, j), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((c, qp, R), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((qp, br), jnp.float32)],
+            interpret=interpret,
+        )(A_pad, d0, E_pad)
+
+    TB = _time_block(c)
+    return pl.pallas_call(
+        partial(_fwd_kernel_blocked, TB, q, qp, br),
+        grid=(R // br, c // TB),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # A^T column broadcasts
+            pl.BlockSpec(
+                (qp, br), lambda j, g: (0, j), memory_space=pltpu.VMEM
+            ),  # delta0
+            pl.BlockSpec(
+                (TB, qp, br),
+                lambda j, g: (g, 0, j),
+                memory_space=pltpu.VMEM,
+            ),  # emissions of this time block
+        ],
+        out_specs=pl.BlockSpec(
+            (TB, qp, br), lambda j, g: (g, 0, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((c, qp, R), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((qp, br), jnp.float32)],
+        interpret=interpret,
+    )(A_pad.T, d0, E_pad)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def maxplus_backtrace(log_A, deltas, last_state, interpret: bool = False):
+    """Backtrace decode from stored deltas (see :func:`maxplus_deltas`).
+
+    Args:
+        log_A: (q, q); deltas: (c, qp, R); last_state: (R,) int32.
+
+    Returns:
+        states: (c, R) int32 — always one valid optimal path.
+    """
+    q = log_A.shape[-1]
+    c, qp, R = deltas.shape
+    br = choose_block_r(R)
+    A_pad = jnp.full((qp, qp), _NEG, jnp.float32)
+    A_pad = A_pad.at[:q, :q].set(log_A.astype(jnp.float32))
+    j_last = last_state[None].astype(jnp.int32)  # (1, R)
+
+    if q <= PAD:
+        states = pl.pallas_call(
+            partial(_backtrace_kernel, c, q, br),
+            grid=(R // br, c),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # A (column selects)
+                pl.BlockSpec(
+                    (1, br), lambda j, g: (0, j), memory_space=pltpu.VMEM
+                ),  # last_state
+                pl.BlockSpec(
+                    (1, qp, br),
+                    lambda j, g: (c - 1 - g, 0, j),
+                    memory_space=pltpu.VMEM,
+                ),  # delta at t
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, br),
+                lambda j, g: (c - 1 - g, 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((c, 1, R), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((1, br), jnp.int32)],
+            interpret=interpret,
+        )(A_pad, j_last, deltas)
+        return states[:, 0, :]
+
+    TB = _time_block(c)
+    nb = c // TB
+    states = pl.pallas_call(
+        partial(_backtrace_kernel_blocked, TB, q, qp, br),
+        grid=(R // br, nb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # A (column selects)
+            pl.BlockSpec(
+                (1, br), lambda j, g: (0, j), memory_space=pltpu.VMEM
+            ),  # last_state
+            pl.BlockSpec(
+                (TB, qp, br),
+                lambda j, g: (nb - 1 - g, 0, j),
+                memory_space=pltpu.VMEM,
+            ),  # deltas of this time block
+        ],
+        out_specs=pl.BlockSpec(
+            (TB, 1, br),
+            lambda j, g: (nb - 1 - g, 0, j),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((c, 1, R), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((1, br), jnp.int32)],
+        interpret=interpret,
+    )(A_pad, j_last, deltas)
+    return states[:, 0, :]
+
+
 @partial(jax.jit, static_argnames=("interpret",))
 def maxplus_decode(log_A, log_E_T, delta0, last_state, interpret: bool = False):
     """Chunk-local delta pass + within-chunk backtrace decode.
@@ -261,67 +517,5 @@ def maxplus_decode(log_A, log_E_T, delta0, last_state, interpret: bool = False):
         states: (c, R) int32 — decoded state at every chunk position; always
         one valid optimal path (backtrace, not positionwise argmax).
     """
-    c, q, R = log_E_T.shape
-    br = choose_block_r(R)
-    if q > PAD:
-        raise ValueError(f"pallas viterbi kernel supports q <= {PAD}, got {q}")
-    if R % br:
-        raise ValueError(f"R={R} must be padded to a multiple of {br}")
-
-    A_pad = jnp.full((PAD, PAD), _NEG, jnp.float32)
-    A_pad = A_pad.at[:q, :q].set(log_A.astype(jnp.float32))
-    E_pad = log_E_T
-    pad_rows = ((0, 0), (0, PAD - q), (0, 0))
-    if q < PAD:
-        E_pad = jnp.pad(log_E_T, pad_rows, constant_values=_NEG)
-    d0 = jnp.pad(delta0[None], pad_rows, constant_values=_NEG)[0]
-    j_last = last_state[None].astype(jnp.int32)  # (1, R)
-
-    grid = (R // br, c)
-    delta = pl.pallas_call(
-        partial(_fwd_kernel, c, q, br),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # A
-            pl.BlockSpec(
-                (PAD, br), lambda j, t: (0, j), memory_space=pltpu.VMEM
-            ),  # delta0
-            pl.BlockSpec(
-                (1, PAD, br),
-                lambda j, t: (t, 0, j),
-                memory_space=pltpu.VMEM,
-            ),  # emissions at t
-        ],
-        out_specs=pl.BlockSpec(
-            (1, PAD, br), lambda j, t: (t, 0, j), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((c, PAD, R), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((PAD, br), jnp.float32)],
-        interpret=interpret,
-    )(A_pad, d0, E_pad)
-
-    states = pl.pallas_call(
-        partial(_backtrace_kernel, c, q, br),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # A (column selects)
-            pl.BlockSpec(
-                (1, br), lambda j, g: (0, j), memory_space=pltpu.VMEM
-            ),  # last_state
-            pl.BlockSpec(
-                (1, PAD, br),
-                lambda j, g: (c - 1 - g, 0, j),
-                memory_space=pltpu.VMEM,
-            ),  # delta at t
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, br),
-            lambda j, g: (c - 1 - g, 0, j),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((c, 1, R), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((1, br), jnp.int32)],
-        interpret=interpret,
-    )(A_pad, j_last, delta)
-
-    return states[:, 0, :]
+    deltas = maxplus_deltas(log_A, log_E_T, delta0, interpret=interpret)
+    return maxplus_backtrace(log_A, deltas, last_state, interpret=interpret)

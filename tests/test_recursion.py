@@ -637,3 +637,60 @@ class TestMultiModelPallas:
         np.testing.assert_allclose(
             np.asarray(gP) / scale, np.asarray(g1) / scale, atol=5e-4
         )
+
+
+class TestBlockedViterbiDecode:
+    """Sequential Pallas delta/backtrace decode for 16 < q <= 64 (blocked
+    multi-sublane-tile states). The tropical semiring has no MXU mapping,
+    so this is the large-q decode fast path on TPU."""
+
+    @pytest.mark.parametrize("q", [17, 33, 64])
+    def test_matches_xla_sequential(self, monkeypatch, q):
+        from hmm_layer_tpu.ops import pallas_viterbi
+
+        monkeypatch.setattr(pallas_viterbi, "FORCE_INTERPRET", True)
+        rng = np.random.default_rng(q)
+        init, A, E = random_hmm(rng, q=q, L=37, b=3, peaked=True)
+        ini, Aj, Ej = init[None], A[None], E[None]
+        assert recursion._use_pallas_seq_viterbi(q)
+        ref = recursion._viterbi_seq(
+            jnp.asarray(ini), jnp.asarray(Aj), jnp.asarray(Ej)
+        )
+        got = recursion.viterbi(jnp.asarray(ini), jnp.asarray(Aj), jnp.asarray(Ej))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+        # parallel_factor > 1 routes to the same decode at these q.
+        got_p = recursion.viterbi(
+            jnp.asarray(ini), jnp.asarray(Aj), jnp.asarray(Ej), parallel_factor=4
+        )
+        np.testing.assert_array_equal(np.asarray(got_p), np.asarray(ref))
+
+    def test_multi_model_and_sparse_transitions(self, monkeypatch):
+        from hmm_layer_tpu.ops import pallas_viterbi
+
+        monkeypatch.setattr(pallas_viterbi, "FORCE_INTERPRET", True)
+        rng = np.random.default_rng(3)
+        m, q, b, L = 3, 33, 2, 24
+        init = rng.dirichlet(np.ones(q), size=m).astype(np.float32)
+        A = rng.dirichlet(np.ones(q), size=(m, q)).astype(np.float32)
+        A[:, :, q // 2] = 0.0  # structural zeros (grammar-like sparsity)
+        A = A / A.sum(-1, keepdims=True)
+        E = rng.dirichlet(np.ones(q) * 0.1, size=(m, b, L)).astype(np.float32)
+        ref = recursion._viterbi_seq(
+            jnp.asarray(init), jnp.asarray(A), jnp.asarray(E)
+        )
+        got = recursion.viterbi(jnp.asarray(init), jnp.asarray(A), jnp.asarray(E))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_flat_ties_match_argmax_semantics(self, monkeypatch):
+        from hmm_layer_tpu.ops import pallas_viterbi
+
+        monkeypatch.setattr(pallas_viterbi, "FORCE_INTERPRET", True)
+        q, b, L = 20, 2, 9
+        init = np.full((1, q), 1.0 / q, np.float32)
+        A = np.full((1, q, q), 1.0 / q, np.float32)
+        E = np.full((1, b, L, q), 0.5, np.float32)
+        ref = recursion._viterbi_seq(
+            jnp.asarray(init), jnp.asarray(A), jnp.asarray(E)
+        )
+        got = recursion.viterbi(jnp.asarray(init), jnp.asarray(A), jnp.asarray(E))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
