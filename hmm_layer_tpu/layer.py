@@ -41,7 +41,9 @@ class HMMLayer:
         sequence_weights: optional per-sequence weights (indexed via the
             ``indices`` argument of :meth:`loss`).
         parallel_factor: chunked-parallel factor along the sequence axis
-            (must divide the sequence length).
+            (must divide the sequence length), or ``"auto"`` to pick the
+            measured-optimal factor per call from the input shape
+            (:func:`hmm_layer_tpu.ops.recursion.recommended_parallel_factor`).
     """
 
     def __init__(
@@ -51,7 +53,7 @@ class HMMLayer:
         num_seqs: int | None = None,
         use_prior: bool = True,
         sequence_weights=None,
-        parallel_factor: int = 1,
+        parallel_factor: int | str = 1,
     ):
         self.transitions = transitions
         self.emissions = emissions if isinstance(emissions, list) else [emissions]
@@ -61,6 +63,12 @@ class HMMLayer:
             None if sequence_weights is None else jnp.asarray(sequence_weights)
         )
         self.parallel_factor = parallel_factor
+
+    def _pf(self, E, for_viterbi: bool = False) -> int:
+        if self.parallel_factor == "auto":
+            m, b, L, q = E.shape
+            return recursion.recommended_parallel_factor(L, q, m, for_viterbi)
+        return self.parallel_factor
 
     # -- params ---------------------------------------------------------------
 
@@ -99,7 +107,7 @@ class HMMLayer:
     ):
         """(log_forward (m,b,L,q), loglik (m,b)[, prior, aux_loss])."""
         init, A, E = self._ingredients(params, inputs, end_hints, training)
-        la, ll = recursion.forward(init, A, E, self.parallel_factor)
+        la, ll = recursion.forward(init, A, E, self._pf(E))
         if return_prior:
             return la, ll, self.compute_prior(params, scaled=False), self.aux_loss(params)
         return la, ll
@@ -108,7 +116,7 @@ class HMMLayer:
         self, params, inputs, end_hints=None, return_prior=False, training=False
     ):
         init, A, E = self._ingredients(params, inputs, end_hints, training)
-        lb = recursion.backward(init, A, E, self.parallel_factor)
+        lb = recursion.backward(init, A, E, self._pf(E))
         if return_prior:
             return lb, self.compute_prior(params, scaled=False), self.aux_loss(params)
         return lb
@@ -125,7 +133,7 @@ class HMMLayer:
         """log P(s_t = q | x); (m, b, L, q)."""
         init, A, E = self._ingredients(params, inputs, end_hints, training)
         lg, _ = recursion.posterior(
-            init, A, E, self.parallel_factor, no_loglik=no_loglik
+            init, A, E, self._pf(E), no_loglik=no_loglik
         )
         if return_prior:
             return lg, self.compute_prior(params, scaled=False), self.aux_loss(params)
@@ -134,18 +142,18 @@ class HMMLayer:
     def log_likelihood(self, params, inputs, end_hints=None, training=False):
         """Per-model per-sequence loglik; (m, b)."""
         init, A, E = self._ingredients(params, inputs, end_hints, training)
-        return recursion.log_likelihood(init, A, E, self.parallel_factor)
+        return recursion.log_likelihood(init, A, E, self._pf(E))
 
     def viterbi(self, params, inputs):
         """Most likely state paths; (m, b, L) int32."""
         init, A, E = self._ingredients(params, inputs, None, False)
-        return recursion.viterbi(init, A, E, self.parallel_factor)
+        return recursion.viterbi(init, A, E, self._pf(E, for_viterbi=True))
 
     def sample_paths(self, params, inputs, key, num_samples: int = 1):
         """Exact posterior path samples; (m, b, num_samples, L) int32."""
         init, A, E = self._ingredients(params, inputs, None, False)
         return sampling.sample_posterior(
-            init, A, E, key, num_samples, self.parallel_factor
+            init, A, E, key, num_samples, self._pf(E)
         )
 
     # -- priors / weights / losses ----------------------------------------------

@@ -63,6 +63,7 @@ __all__ = [
     "posterior",
     "log_likelihood",
     "viterbi",
+    "recommended_parallel_factor",
     "ForwardResult",
 ]
 
@@ -639,82 +640,38 @@ def _backward_fast_bwd(P, res, ct):
 _backward_chunked_fast.defvjp(_backward_fast_fwd, _backward_fast_bwd)
 
 
-def _chunked_affine_reverse(B, u, v, cvec, P):
-    """Chunked solve of ``x_t = cvec_t + u_t * (B @ (v_t * x_{t+1}))``
-    (terminal ``x_L = 0``) — dispatches to the Pallas kernels on TPU."""
-    m, _, _, q = cvec.shape
-    if pallas_adjoint.supported(q) and _pallas_backend_ok():
-        return _chunked_affine_reverse_pallas(B, u, v, cvec, P)
-    return _chunked_affine_reverse_xla(B, u, v, cvec, P)
+def _use_pallas_affine(q: int) -> bool:
+    return pallas_adjoint.supported(q) and _pallas_backend_ok()
 
 
-def _chunked_affine_reverse_pallas(B, u, v, cvec, P):
-    """Pallas path of :func:`_chunked_affine_reverse`: vmapped kernel
-    summary/output passes around the XLA boundary fold (the model axis —
-    the posterior VJP stacks [A; A^T] — becomes a leading grid dim)."""
-    m, b, L, q = cvec.shape
+def _affine_lanes(x, P, R_pad):
+    """(m, b, L, q) -> (m, c, q, R_pad) kernel lane layout, zero-padded."""
+    m, b, L, q = x.shape
     c = L // P
-    R = b * P
-    R_pad = pallas_viterbi.pad_chunk_elements(R)
-    interpret = pallas_viterbi.FORCE_INTERPRET
-
-    def lanes(x):  # (m, b, L, q) -> (m, c, q, R_pad), zero-padded lanes
-        xc = jnp.moveaxis(x.reshape(m, b * P, c, q), 1, -1)  # (m, c, q, R)
-        return _pad_lanes(xc, R_pad)
-
-    U, V, S = lanes(u), lanes(v), lanes(cvec)
-    comp = jax.vmap(
-        lambda B1, U1, V1, S1: pallas_adjoint.affine_chunk_composites(
-            B1, U1, V1, S1, interpret=interpret
-        )
-    )(B, U, V, S)[:, :R]  # (m, R, q, q+1)
-    compP = jnp.moveaxis(comp.reshape(m, b, P, q, q + 1), 2, 0)
-
-    def fold(vb, comp_p):
-        x_start = comp_p[..., -1] + jnp.einsum(
-            "mbij,mbj->mbi", comp_p[..., :q], vb, precision=_PRECISION
-        )
-        return x_start, vb
-
-    _, rights = lax.scan(
-        fold, jnp.zeros((m, b, q), cvec.dtype), compP, reverse=True
-    )  # rights[p] = x entering chunk p's right edge; (P, m, b, q)
-    x_right = jnp.moveaxis(rights, 0, 2).reshape(m, R, q)
-    x0 = _pad_lanes(
-        jnp.pad(
-            jnp.swapaxes(x_right, -1, -2),
-            ((0, 0), (0, pallas_viterbi.PAD - q), (0, 0)),
-        ),
-        R_pad,
-    )
-    out = jax.vmap(
-        lambda B1, U1, V1, S1, x1: pallas_adjoint.affine_reverse_outputs(
-            B1, U1, V1, S1, x1, interpret=interpret
-        )
-    )(B, U, V, S, x0)  # (m, c, PAD, R_pad)
-    x = jnp.moveaxis(out[:, :, :q, :R], (1, 2, 3), (2, 3, 1))  # (m, R, c, q)
-    return x.reshape(m, b, L, q)
+    xc = jnp.moveaxis(x.reshape(m, b * P, c, q), 1, -1)  # (m, c, q, R)
+    return _pad_lanes(xc, R_pad)
 
 
-def _chunked_affine_reverse_xla(B, u, v, cvec, P):
-    """XLA scan path of :func:`_chunked_affine_reverse`.
-
-    The adjoint recursions of the forward/backward HMM variables are affine
-    in the adjoint with per-step maps ``M_t = diag(u_t) B diag(v_t)`` whose
-    entries are softmax weights in [0, 1] — solved with the same two-pass
-    chunked structure as the primal: per-chunk composite affine maps
-    ``(Pm, o)`` (carry q x (q+1), no rescaling needed), a sequential fold
-    over the P chunk boundaries, then cheap per-chunk output recursions.
-
-    Terminal condition ``x_L = 0`` (callers zero ``v`` at the last step).
-
-    Args:
-        B: (m, q, q); u, v, cvec: (m, b, L, q).
-
-    Returns:
-        x: (m, b, L, q).
-    """
+def _affine_composites(B, u, v, cvec, P):
+    """Per-chunk composite affine maps ``[K | o]`` of the reverse adjoint
+    recursion; (P, m, b, q, q+1). Dispatches to the Pallas kernel on TPU."""
     m, b, L, q = cvec.shape
+    if _use_pallas_affine(q):
+        R = b * P
+        R_pad = pallas_viterbi.pad_chunk_elements(R)
+        interpret = pallas_viterbi.FORCE_INTERPRET
+        U, V, S = (
+            _affine_lanes(u, P, R_pad),
+            _affine_lanes(v, P, R_pad),
+            _affine_lanes(cvec, P, R_pad),
+        )
+        comp = jax.vmap(
+            lambda B1, U1, V1, S1: pallas_adjoint.affine_chunk_composites(
+                B1, U1, V1, S1, interpret=interpret
+            )
+        )(B, U, V, S)[:, :R]  # (m, R, q, q+1)
+        return jnp.moveaxis(comp.reshape(m, b, P, q, q + 1), 2, 0)
+
     c = L // P
 
     def to_chunks(x):
@@ -723,12 +680,10 @@ def _chunked_affine_reverse_xla(B, u, v, cvec, P):
     ut, vt, ctt = to_chunks(u), to_chunks(v), to_chunks(cvec)
 
     def apply_M(u_t, v_t, X):
-        # M_t @ X for X (m, bP, q, k): diag(u) B diag(v) X.
         Y = v_t[..., :, None] * X
         Z = jnp.einsum("miq,mbqk->mbik", B, Y, precision=_PRECISION)
         return u_t[..., :, None] * Z
 
-    # -- summary pass: per-chunk composite [Pm | o] ----------------------------
     eye = jnp.broadcast_to(jnp.eye(q, dtype=cvec.dtype), (m, b * P, q, q))
     X0 = jnp.concatenate(
         [eye, jnp.zeros((m, b * P, q, 1), cvec.dtype)], axis=-1
@@ -741,24 +696,62 @@ def _chunked_affine_reverse_xla(B, u, v, cvec, P):
         return Z, None
 
     X, _ = lax.scan(sum_step, X0, (ut, vt, ctt), reverse=True)
-    comp = jnp.moveaxis(
-        X.reshape(m, b, P, q, q + 1), 2, 0
-    )  # (P, m, b, q, q+1)
+    return jnp.moveaxis(X.reshape(m, b, P, q, q + 1), 2, 0)
 
-    # -- boundary fold: x entering each chunk's right edge ---------------------
+
+def _affine_boundary_fold(comp, x_term):
+    """Right-to-left fold over chunk composites from terminal ``x_term``.
+
+    Returns ``rights`` (P, m, b, q): the adjoint entering each chunk's
+    right edge (rights[P-1] = x_term).
+    """
+    q = comp.shape[-2]
+
     def fold(vb, comp_p):
-        # vb = x at the first position AFTER chunk p; emit it, then map
-        # through chunk p's composite to get x at chunk p's first position.
         x_start = comp_p[..., -1] + jnp.einsum(
             "mbij,mbj->mbi", comp_p[..., :q], vb, precision=_PRECISION
         )
         return x_start, vb
 
-    _, rights = lax.scan(
-        fold, jnp.zeros((m, b, q), cvec.dtype), comp, reverse=True
-    )  # rights[p] = x at position (p+1)*c
+    _, rights = lax.scan(fold, x_term, comp, reverse=True)
+    return rights
 
-    # -- output pass: per-chunk recursion from the right boundary --------------
+
+def _affine_outputs(B, u, v, cvec, P, rights):
+    """Per-position adjoints from per-chunk right-edge values ``rights``
+    (P, m, b, q). Dispatches to the Pallas kernel on TPU."""
+    m, b, L, q = cvec.shape
+    if _use_pallas_affine(q):
+        R = b * P
+        R_pad = pallas_viterbi.pad_chunk_elements(R)
+        interpret = pallas_viterbi.FORCE_INTERPRET
+        U, V, S = (
+            _affine_lanes(u, P, R_pad),
+            _affine_lanes(v, P, R_pad),
+            _affine_lanes(cvec, P, R_pad),
+        )
+        x_right = jnp.moveaxis(rights, 0, 2).reshape(m, R, q)
+        x0 = _pad_lanes(
+            jnp.pad(
+                jnp.swapaxes(x_right, -1, -2),
+                ((0, 0), (0, pallas_viterbi.PAD - q), (0, 0)),
+            ),
+            R_pad,
+        )
+        out = jax.vmap(
+            lambda B1, U1, V1, S1, x1: pallas_adjoint.affine_reverse_outputs(
+                B1, U1, V1, S1, x1, interpret=interpret
+            )
+        )(B, U, V, S, x0)  # (m, c, PAD, R_pad)
+        x = jnp.moveaxis(out[:, :, :q, :R], (1, 2, 3), (2, 3, 1))
+        return x.reshape(m, b, L, q)
+
+    c = L // P
+
+    def to_chunks(x):
+        return jnp.moveaxis(x.reshape(m, b * P, c, q), 2, 0)
+
+    ut, vt, ctt = to_chunks(u), to_chunks(v), to_chunks(cvec)
     x_right = jnp.moveaxis(rights, 0, 2).reshape(m, b * P, q)
 
     def out_step(x, inp):
@@ -770,6 +763,18 @@ def _chunked_affine_reverse_xla(B, u, v, cvec, P):
 
     _, xs = lax.scan(out_step, x_right, (ut, vt, ctt), reverse=True)
     return jnp.moveaxis(xs, 0, 2).reshape(m, b, L, q)
+
+
+def _chunked_affine_reverse(B, u, v, cvec, P, x_term=None):
+    """Chunked solve of ``x_t = cvec_t + u_t * (B @ (v_t * x_{t+1}))``
+    (terminal ``x_L = x_term``, default 0) — composites, boundary fold,
+    output passes; Pallas kernels on TPU."""
+    m, b, _, q = cvec.shape
+    comp = _affine_composites(B, u, v, cvec, P)
+    if x_term is None:
+        x_term = jnp.zeros((m, b, q), cvec.dtype)
+    rights = _affine_boundary_fold(comp, x_term)
+    return _affine_outputs(B, u, v, cvec, P, rights)
 
 
 def _posterior_vjp_residuals(no_loglik, saved):
@@ -1308,6 +1313,47 @@ def _viterbi_outputs(first_start_log, log_A, Et, j_end, m, b, L, q, P):
 # ---------------------------------------------------------------------------
 # Public API
 # ---------------------------------------------------------------------------
+
+
+def recommended_parallel_factor(
+    L: int, q: int, m: int = 1, for_viterbi: bool = False
+) -> int:
+    """Measured-dispatch advice: the ``parallel_factor`` to use per shape.
+
+    Derived from TPU v5e measurements (``benchmarks/largeq_probe.py`` and
+    ``bench.py``); returns a divisor of ``L``:
+
+    * q <= 16 — the Pallas chunked engine; chunk length ~300 optimal
+      (pf=33 at L=9999: boundary-combine cost grows with P, output passes
+      are P-independent).
+    * 16 < q <= 64, m == 1, sum-product — the XLA chunked engine on the
+      MXU still beats the sequential scan (2.49 vs 4.77 ms at q=33,
+      L=3069); chunk length ~340 optimal.
+    * larger q or m — sequential (1): the O(q^3)-per-position summary pass
+      overtakes the scan-latency saving (q=127: 22 ms chunked vs 4.4 ms
+      sequential), and multi-model batches amortize the scan overhead.
+    * Viterbi at q > 16 — always 1: :func:`viterbi` routes to the blocked
+      sequential Pallas decode (or the XLA scan above 64 states)
+      regardless of ``parallel_factor``.
+    """
+    if for_viterbi and q > pallas_viterbi.PAD:
+        return 1
+    if q <= pallas_viterbi.PAD:
+        target_c = 300
+    elif q <= 64 and m == 1 and not for_viterbi:
+        target_c = 340
+    else:
+        return 1
+    best, best_err = 1, abs(L - target_c)
+    d = 1
+    while d * d <= L:
+        if L % d == 0:
+            for p in (d, L // d):
+                err = abs(L / p - target_c)
+                if err < best_err:
+                    best, best_err = p, err
+        d += 1
+    return best
 
 
 def forward(init, A, E, parallel_factor: int = 1) -> ForwardResult:

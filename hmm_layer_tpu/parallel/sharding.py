@@ -32,6 +32,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..ops.recursion import (
+    _affine_boundary_fold,
+    _affine_composites,
+    _affine_outputs,
     _backward_outputs,
     _boundary_backtrace,
     _chunk_summaries,
@@ -44,7 +47,7 @@ from ..ops.recursion import (
     _viterbi_chunk_summaries,
     _viterbi_outputs,
 )
-from ..ops.semiring import logmatmul, maxmatmul
+from ..ops.semiring import EPS, logmatmul, maxmatmul
 
 _PRECISION = lax.Precision.HIGHEST
 
@@ -597,23 +600,38 @@ def seq_sharded_log_likelihood(
     ``local_parallel_factor``), the tiny summaries are all-gathered over the
     ``seq`` axis, and the final product is folded locally — one collective
     per sequence, off the per-step critical path.
+
+    Differentiable: reverse-mode gradients run an analytic shard_map-aware
+    Baum-Welch VJP (:func:`_seq_ll_bwd`) — device-local expected statistics
+    from one boundary exchange, psum'd over the mesh — instead of taping the
+    O(L·q²) summary-scan carries. Distributed training at long L therefore
+    costs one extra boundary exchange, not extra memory.
     """
     n_seq = mesh.shape[seq_axis]
     L = E.shape[2]
     assert L % n_seq == 0, f"L={L} not divisible by seq axis size {n_seq}"
-
-    in_specs = (
-        P(None, None),
-        P(None, None, None),
-        P(None, data_axis, seq_axis, None),
+    return _seq_ll(
+        init, A, E, mesh, seq_axis, data_axis, max(local_parallel_factor, 1)
     )
-    out_specs = P(None, data_axis)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _seq_ll(init, A, E, mesh, seq_axis, data_axis, P_local):
+    return _seq_ll_primal(init, A, E, mesh, seq_axis, data_axis, P_local)
+
+
+def _seq_ll_primal(init, A, E, mesh, seq_axis, data_axis, P_local):
+    n_seq = mesh.shape[seq_axis]
 
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=in_specs,
-        out_specs=out_specs,
+        in_specs=(
+            P(None, None),
+            P(None, None, None),
+            P(None, data_axis, seq_axis, None),
+        ),
+        out_specs=P(None, data_axis),
         check_vma=False,
     )
     def _ll(init_l, A_l, E_l):
@@ -623,7 +641,6 @@ def seq_sharded_log_likelihood(
         # Local block summary, conditioned like the chunked engine: only the
         # globally-first block starts from identity; all others condition on
         # the last state of the previous device's block (A-rows start).
-        P_local = max(local_parallel_factor, 1)
         C, _ = _chunk_summaries(
             A_l, E_l, P_local, first_chunk_identity=(idx == 0)
         )
@@ -642,6 +659,134 @@ def seq_sharded_log_likelihood(
         return jax.nn.logsumexp(v, axis=-1)
 
     return _ll(init, A, E)
+
+
+def _seq_ll_fwd(init, A, E, mesh, seq_axis, data_axis, P_local):
+    ll = _seq_ll_primal(init, A, E, mesh, seq_axis, data_axis, P_local)
+    return ll, (init, A, E)
+
+
+def _seq_ll_bwd(mesh, seq_axis, data_axis, P_local, res, ct):
+    """Analytic Baum-Welch VJP, sharded: each device computes the expected
+    statistics of its block from boundary values (one all-gather), the
+    cross-device transition pair rides the already-known ``v_enter``, and
+    gA/ginit reduce with psum. Mirrors ``recursion._loglik_fast_bwd``."""
+    init, A, E = res
+    n_seq = mesh.shape[seq_axis]
+    reduce_axes = (
+        (seq_axis,) if data_axis is None else (seq_axis, data_axis)
+    )
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(None, None),
+            P(None, None, None),
+            P(None, data_axis, seq_axis, None),
+            P(None, data_axis),
+        ),
+        out_specs=(
+            P(None, None),
+            P(None, None, None),
+            P(None, data_axis, seq_axis, None),
+        ),
+        check_vma=False,
+    )
+    def _bwd(init_l, A_l, E_l, ct_l):
+        m, b, L_l, q = E_l.shape
+        idx = lax.axis_index(seq_axis)
+        la, lb, ll, v_enter = _seq_local_forward_backward(
+            init_l, A_l, E_l, idx, n_seq, P_local, seq_axis
+        )
+        log_E = jnp.log(_clamped(E_l))
+        maskE = E_l >= EPS
+
+        lgam = la + lb - ll[..., None, None]
+        gE = jnp.exp(lgam - log_E) * maskE * ct_l[..., None, None]
+
+        ginit0 = (
+            jnp.sum(
+                jnp.exp(log_E[:, :, 0] + lb[:, :, 0] - ll[..., None])
+                * ct_l[..., None],
+                axis=1,
+            )
+            * (init_l >= EPS)
+        )
+        ginit = lax.psum(
+            jnp.where(idx == 0, ginit0, jnp.zeros_like(ginit0)), reduce_axes
+        )
+
+        # Within-block expected transition pairs (t-1, t), balanced shift.
+        cshift = jnp.max(la[:, :, :-1], axis=-1, keepdims=True)
+        w = jnp.exp(la[:, :, :-1] - cshift)
+        u = (
+            jnp.exp(lb[:, :, 1:] + log_E[:, :, 1:] - ll[..., None, None] + cshift)
+            * ct_l[..., None, None]
+        )
+        gA = jnp.einsum("mbti,mbtj->mij", w, u, precision=_PRECISION)
+        # Cross-device pair: forward at the previous block's end IS v_enter.
+        csp = jnp.max(v_enter, axis=-1, keepdims=True)
+        wp = jnp.exp(v_enter - csp)
+        up = (
+            jnp.exp(lb[:, :, 0] + log_E[:, :, 0] - ll[..., None] + csp)
+            * ct_l[..., None]
+        )
+        gA_pair = jnp.einsum("mbi,mbj->mij", wp, up, precision=_PRECISION)
+        gA = gA + jnp.where(idx > 0, 1.0, 0.0) * gA_pair
+        gA = lax.psum(gA, reduce_axes)
+        return ginit, gA, gE
+
+    return _bwd(init, A, E, ct)
+
+
+_seq_ll.defvjp(_seq_ll_fwd, _seq_ll_bwd)
+
+
+def _seq_local_forward_backward(init_l, A_l, E_l, idx, n_seq, P_local, seq_axis):
+    """Device-local log-forward/backward variables from boundary exchange.
+
+    The core of the sequence-sharded engine: ONE all-gather of q x q block
+    operators, redundant boundary folds, then intra-device chunked output
+    passes. Returns (la, lb (m, b, L_local, q), ll (m, b), v_enter
+    (m, b, q) — the log-forward entering this device's block).
+    """
+    m, b, L_l, q = E_l.shape
+    log_A = jnp.log(_clamped(A_l))
+    log_init_b = jnp.broadcast_to(
+        jnp.log(_clamped(init_l))[:, None, :], (m, b, q)
+    )
+    C, _ = _chunk_summaries(A_l, E_l, P_local, first_chunk_identity=(idx == 0))
+    block = C[0]
+    for p in range(1, P_local):
+        block = logmatmul(block, C[p])
+    blocks = lax.all_gather(block, seq_axis)  # (n, m, b, q, q)
+    v_ends, w_ends, ll = _device_boundary_values(blocks, log_init_b, n_seq)
+
+    v_all = jnp.stack([log_init_b] + v_ends[:-1], axis=0)
+    v_enter = lax.dynamic_index_in_dim(v_all, idx, 0, keepdims=False)
+    w_exit = lax.dynamic_index_in_dim(
+        jnp.stack(w_ends, axis=0), idx, 0, keepdims=False
+    )
+
+    prefix = lax.associative_scan(logmatmul, C, axis=0)
+    T = jax.nn.logsumexp(v_enter[None, ..., None] + prefix, axis=-2)
+    suffix = lax.associative_scan(
+        lambda x, y: logmatmul(y, x), C, axis=0, reverse=True
+    )
+    S_inner = logmatmul(suffix[1:], w_exit[None, ..., None])[..., 0]
+    S = jnp.concatenate([S_inner, w_exit[None]], axis=0)
+
+    first_start = jnp.where(
+        idx == 0,
+        log_init_b,
+        logmatmul(v_enter[..., None, :], log_A[:, None])[..., 0, :],
+    )
+    la = _forward_outputs(
+        init_l, A_l, E_l, T, P_local, first_start_log=first_start
+    )
+    lb = _backward_outputs(A_l, E_l, S, P_local)
+    return la, lb, ll, v_enter
 
 
 def _device_boundary_values(blocks, log_init_b, n_seq):
@@ -695,80 +840,291 @@ def seq_sharded_posterior(
     boundary values. Matches the dense :func:`hmm_layer_tpu.posterior` to
     fp tolerance.
 
+    Differentiable: reverse-mode gradients run shard_map-aware analytic
+    adjoints (:func:`_seq_post_bwd`) — the chunked affine adjoint solves of
+    the dense engine with one extra device level of composite folding, plus
+    ppermute exchanges of the boundary-adjacent adjoint weights — instead
+    of taping the O(L·q²) summary carries.
+
     Returns:
         (log_gamma (m, b, L, q) sharded over ``seq`` on L, loglik (m, b)).
     """
     n_seq = mesh.shape[seq_axis]
     L = E.shape[2]
     assert L % n_seq == 0, f"L={L} not divisible by seq axis size {n_seq}"
-
-    in_specs = (
-        P(None, None),
-        P(None, None, None),
-        P(None, data_axis, seq_axis, None),
+    return _seq_post(
+        init,
+        A,
+        E,
+        mesh,
+        seq_axis,
+        data_axis,
+        max(local_parallel_factor, 1),
+        no_loglik,
     )
-    out_specs = (P(None, data_axis, seq_axis, None), P(None, data_axis))
+
+
+def _seq_post_primal(init, A, E, mesh, seq_axis, data_axis, P_local, no_loglik):
+    n_seq = mesh.shape[seq_axis]
+    long_spec = P(None, data_axis, seq_axis, None)
 
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=in_specs,
-        out_specs=out_specs,
+        in_specs=(P(None, None), P(None, None, None), long_spec),
+        out_specs=(long_spec, P(None, data_axis), long_spec),
         check_vma=False,
     )
     def _post(init_l, A_l, E_l):
-        m, b, L_l, q = E_l.shape
         idx = lax.axis_index(seq_axis)
-        P_local = max(local_parallel_factor, 1)
-        log_A = jnp.log(_clamped(A_l))
-        log_init_b = jnp.broadcast_to(
-            jnp.log(_clamped(init_l))[:, None, :], (m, b, q)
+        la, lb, ll, _ = _seq_local_forward_backward(
+            init_l, A_l, E_l, idx, n_seq, P_local, seq_axis
         )
-
-        C, _ = _chunk_summaries(
-            A_l, E_l, P_local, first_chunk_identity=(idx == 0)
-        )
-        block = C[0]
-        for p in range(1, P_local):
-            block = logmatmul(block, C[p])
-        blocks = lax.all_gather(block, seq_axis)  # (n, m, b, q, q)
-        v_ends, w_ends, ll = _device_boundary_values(blocks, log_init_b, n_seq)
-
-        # Boundary values entering/exiting THIS device's block.
-        v_all = jnp.stack([log_init_b] + v_ends[:-1], axis=0)
-        v_enter = lax.dynamic_index_in_dim(v_all, idx, 0, keepdims=False)
-        w_exit = lax.dynamic_index_in_dim(
-            jnp.stack(w_ends, axis=0), idx, 0, keepdims=False
-        )
-
-        # Within-device chunk boundaries, conditioned on v_enter / w_exit.
-        prefix = lax.associative_scan(logmatmul, C, axis=0)
-        T = jax.nn.logsumexp(
-            v_enter[None, ..., None] + prefix, axis=-2
-        )  # (P_local, m, b, q)
-        suffix = lax.associative_scan(
-            lambda x, y: logmatmul(y, x), C, axis=0, reverse=True
-        )
-        S_inner = logmatmul(suffix[1:], w_exit[None, ..., None])[..., 0]
-        S = jnp.concatenate([S_inner, w_exit[None]], axis=0)
-
-        # First-chunk start: identity for the global head, A-propagated
-        # boundary value otherwise.
-        first_start = jnp.where(
-            idx == 0,
-            log_init_b,
-            logmatmul(v_enter[..., None, :], log_A[:, None])[..., 0, :],
-        )
-        la = _forward_outputs(
-            init_l, A_l, E_l, T, P_local, first_start_log=first_start
-        )
-        lb = _backward_outputs(A_l, E_l, S, P_local)
         log_gamma = la + lb
         if not no_loglik:
             log_gamma = log_gamma - ll[..., None, None]
-        return log_gamma, ll
+        return log_gamma, ll, la
 
     return _post(init, A, E)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _seq_post(init, A, E, mesh, seq_axis, data_axis, P_local, no_loglik):
+    lg, ll, _ = _seq_post_primal(
+        init, A, E, mesh, seq_axis, data_axis, P_local, no_loglik
+    )
+    return lg, ll
+
+
+def _seq_post_fwd(init, A, E, mesh, seq_axis, data_axis, P_local, no_loglik):
+    lg, ll, la = _seq_post_primal(
+        init, A, E, mesh, seq_axis, data_axis, P_local, no_loglik
+    )
+    return (lg, ll), (init, A, E, la, lg, ll)
+
+
+def _shift_from_next(x, seq_axis, n_seq):
+    """Each device receives ``x`` from its RIGHT neighbor (device n-1 gets
+    zeros)."""
+    return lax.ppermute(
+        x, seq_axis, [(d, d - 1) for d in range(1, n_seq)]
+    )
+
+
+def _shift_from_prev(x, seq_axis, n_seq):
+    """Each device receives ``x`` from its LEFT neighbor (device 0 gets
+    zeros)."""
+    return lax.ppermute(
+        x, seq_axis, [(d, d + 1) for d in range(n_seq - 1)]
+    )
+
+
+def _seq_affine_solve(B, u, v, s, P_local, seq_axis, n_seq, idx, flipped):
+    """Sequence-sharded chunked affine adjoint solve.
+
+    Solves the global reverse recursion ``x_t = s_t + u_t (B (v_t x_{t+1})))``
+    with the sequence axis device-sharded: per-chunk composites (Pallas
+    where supported) fold into ONE device composite, device composites are
+    all-gathered (q x (q+1), tiny) and folded right-to-left, then the local
+    boundary fold + output passes run from the device's right-edge adjoint.
+
+    ``flipped``: the lb-adjoint runs on the flipped time axis, which
+    reverses the device order of the global fold (device 0 holds the
+    flipped-rightmost block). Callers pass locally-flipped (u, v, s).
+    """
+    m, b, L_l, q = s.shape
+    comp = _affine_composites(B, u, v, s, P_local)  # (P, m, b, q, q+1)
+
+    # Device composite: affine composition of the local chunk composites.
+    D = comp[-1]
+    for p in range(P_local - 2, -1, -1):
+        K = jnp.einsum(
+            "mbij,mbjk->mbik", comp[p][..., :q], D[..., :q],
+            precision=_PRECISION,
+        )
+        o = comp[p][..., -1] + jnp.einsum(
+            "mbij,mbj->mbi", comp[p][..., :q], D[..., -1],
+            precision=_PRECISION,
+        )
+        D = jnp.concatenate([K, o[..., None]], axis=-1)
+
+    Dall = lax.all_gather(D, seq_axis)  # (n, m, b, q, q+1)
+
+    # Global right-to-left fold in EFFECTIVE device order (redundant on all
+    # devices; O(n q^2 b)).
+    x = jnp.zeros((m, b, q), s.dtype)
+    rights_dev = [None] * n_seq
+    rights_dev[n_seq - 1] = x
+    for dd in range(n_seq - 1, 0, -1):
+        src = dd if not flipped else n_seq - 1 - dd
+        Dd = Dall[src]
+        x = Dd[..., -1] + jnp.einsum(
+            "mbij,mbj->mbi", Dd[..., :q], x, precision=_PRECISION
+        )
+        rights_dev[dd - 1] = x
+    my_eff = idx if not flipped else n_seq - 1 - idx
+    x_right = lax.dynamic_index_in_dim(
+        jnp.stack(rights_dev, axis=0), my_eff, 0, keepdims=False
+    )
+
+    rights = _affine_boundary_fold(comp, x_right)
+    return _affine_outputs(B, u, v, s, P_local, rights)
+
+
+def _seq_post_bwd(mesh, seq_axis, data_axis, P_local, no_loglik, res, cts):
+    """Sequence-sharded analytic VJP of the chunked posterior.
+
+    Mirrors ``recursion._posterior_analytic_vjp`` (same gamma-scalar +
+    centered-residual decomposition — see its stability notes) with three
+    distributed ingredients: (a) the two affine adjoint solves gain a device
+    level (:func:`_seq_affine_solve`), (b) the boundary-adjacent adjoint
+    weights (``gbar`` at a block's last step, ``fp`` at a block's first)
+    come from one ppermute of the neighbor's edge values, and (c) the
+    expected-transition einsums add the cross-device (last, first) pair and
+    psum over the mesh.
+    """
+    init, A, E, la_res, lg_res, ll_res = res
+    ct, ct_ll_direct = cts
+    n_seq = mesh.shape[seq_axis]
+    reduce_axes = (seq_axis,) if data_axis is None else (seq_axis, data_axis)
+    long_spec = P(None, data_axis, seq_axis, None)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(None, None),
+            P(None, None, None),
+            long_spec,
+            long_spec,
+            long_spec,
+            P(None, data_axis),
+            long_spec,
+            P(None, data_axis),
+        ),
+        out_specs=(P(None, None), P(None, None, None), long_spec),
+        check_vma=False,
+    )
+    def _bwd(init_l, A_l, E_l, la, lg, ll, ct_l, ct_ll_l):
+        m, b, L_l, q = E_l.shape
+        idx = lax.axis_index(seq_axis)
+        lb = lg - la
+        if not no_loglik:
+            lb = lb + ll[..., None, None]
+        log_E = jnp.log(_clamped(E_l))
+        maskE = E_l >= EPS
+        gam = jnp.exp(la + lb - ll[..., None, None])
+
+        # -- scalars ---------------------------------------------------------
+        sig = jnp.sum(ct_l, axis=-1)  # (m, b, L_l)
+        sig_tot = lax.psum(jnp.sum(sig, axis=-1), seq_axis)  # (m, b)
+        ct_ll_eff = ct_ll_l if no_loglik else ct_ll_l - sig_tot
+        src = ct_l - gam * sig[..., None]
+
+        # -- adjoint weights with boundary exchange --------------------------
+        # la adjoint: gbar at the block's LAST step needs the right
+        # neighbor's first-position (la, log_E); zero on the last device
+        # (global terminal).
+        la_next0 = _shift_from_next(la[:, :, 0], seq_axis, n_seq)
+        logE_next0 = _shift_from_next(log_E[:, :, 0], seq_axis, n_seq)
+        sM = jnp.max(la, axis=-1, keepdims=True)  # (m, b, L_l, 1)
+        f = jnp.exp(la - sM)
+        gbar_inner = jnp.exp(
+            log_E[:, :, 1:] + sM[:, :, :-1] - la[:, :, 1:]
+        )
+        gbar_last = jnp.where(
+            idx == n_seq - 1,
+            jnp.zeros_like(la_next0),
+            jnp.exp(logE_next0 + sM[:, :, -1] - la_next0),
+        )
+        gbar = jnp.concatenate([gbar_inner, gbar_last[:, :, None]], axis=2)
+
+        # lb adjoint: fp at the block's FIRST step needs the left neighbor's
+        # last-position lb; zero on the first device.
+        lb_prev_last = _shift_from_prev(lb[:, :, -1], seq_axis, n_seq)
+        elb = log_E + lb
+        sp = jnp.max(elb, axis=-1, keepdims=True)
+        fp_inner = jnp.exp(sp[:, :, 1:] - lb[:, :, :-1])
+        fp_first = jnp.where(
+            idx == 0,
+            jnp.zeros_like(lb_prev_last),
+            jnp.exp(sp[:, :, 0] - lb_prev_last),
+        )
+        fp = jnp.concatenate([fp_first[:, :, None], fp_inner], axis=2)
+        gp = jnp.exp(elb - sp)
+
+        # -- the two device-level affine solves ------------------------------
+        flip = lambda x: jnp.flip(x, axis=2)
+        A_T = jnp.swapaxes(A_l, -1, -2)
+        bhat = _seq_affine_solve(
+            A_l, f, gbar, src, P_local, seq_axis, n_seq, idx, flipped=False
+        )
+        chat = flip(
+            _seq_affine_solve(
+                A_T, flip(gp), flip(fp), flip(src), P_local, seq_axis,
+                n_seq, idx, flipped=True,
+            )
+        )
+        # Project out numerical drift along the growing gamma mode (the
+        # exact residuals are zero-sum; see the dense VJP).
+        bhat = bhat - gam * jnp.sum(bhat, axis=-1, keepdims=True)
+        chat = chat - gam * jnp.sum(chat, axis=-1, keepdims=True)
+
+        # -- assemble --------------------------------------------------------
+        K = sig + ct_ll_l[..., None]
+        if no_loglik:
+            K = K + sig_tot[..., None]
+        gE = (gam * K[..., None] + bhat + chat - ct_l) / _clamped(E_l) * maskE
+
+        R0 = sig_tot + ct_ll_eff
+        bar0 = gam[:, :, 0] * R0[..., None] + bhat[:, :, 0]
+        ginit0 = jnp.sum(bar0, axis=1) / _clamped(init_l) * (init_l >= EPS)
+        ginit = lax.psum(
+            jnp.where(idx == 0, ginit0, jnp.zeros_like(ginit0)), reduce_axes
+        )
+
+        # gA: within-block pairs + the cross-device (last, first) pair.
+        kappa = ct_ll_l + (sig_tot if no_loglik else 0.0)
+        csh = jnp.max(la[:, :, :-1], axis=-1, keepdims=True)
+        F = jnp.exp(la[:, :, :-1] - csh)
+        xi_u = (
+            jnp.exp(lb[:, :, 1:] + log_E[:, :, 1:] - ll[..., None, None] + csh)
+            * kappa[..., None, None]
+        )
+        G_bhat = bhat[:, :, 1:] * jnp.exp(log_E[:, :, 1:] - la[:, :, 1:] + csh)
+        Fp_chat = chat[:, :, :-1] * jnp.exp(sp[:, :, 1:] - lb[:, :, :-1])
+        Gp = jnp.exp(elb[:, :, 1:] - sp[:, :, 1:])
+        gA = jnp.einsum(
+            "mbti,mbtj->mij", F, xi_u + G_bhat, precision=_PRECISION
+        ) + jnp.einsum("mbti,mbtj->mij", Fp_chat, Gp, precision=_PRECISION)
+
+        # Cross-device pair (t = left neighbor's last, t+1 = own first).
+        la_prev_last = _shift_from_prev(la[:, :, -1], seq_axis, n_seq)
+        chat_prev_last = _shift_from_prev(chat[:, :, -1], seq_axis, n_seq)
+        cshp = jnp.max(la_prev_last, axis=-1, keepdims=True)  # (m, b, 1)
+        F_pair = jnp.exp(la_prev_last - cshp)
+        xi_u_pair = (
+            jnp.exp(lb[:, :, 0] + log_E[:, :, 0] - ll[..., None] + cshp)
+            * kappa[..., None]
+        )
+        G_pair = bhat[:, :, 0] * jnp.exp(
+            log_E[:, :, 0] - la[:, :, 0] + cshp
+        )
+        Fp_pair = chat_prev_last * jnp.exp(sp[:, :, 0] - lb_prev_last)
+        Gp_pair = jnp.exp(elb[:, :, 0] - sp[:, :, 0])
+        gA_pair = jnp.einsum(
+            "mbi,mbj->mij", F_pair, xi_u_pair + G_pair, precision=_PRECISION
+        ) + jnp.einsum(
+            "mbi,mbj->mij", Fp_pair, Gp_pair, precision=_PRECISION
+        )
+        gA = gA + jnp.where(idx > 0, 1.0, 0.0) * gA_pair
+        gA = lax.psum(gA, reduce_axes)
+        return ginit, gA, gE
+
+    return _bwd(init, A, E, la_res, lg_res, ll_res, ct, ct_ll_direct)
+
+
+_seq_post.defvjp(_seq_post_fwd, _seq_post_bwd)
 
 
 def seq_sharded_viterbi(

@@ -70,3 +70,59 @@ class TestForwardModeContract:
 
         _, tangent = jax.jvp(loss, (E,), (jnp.ones_like(E),))
         assert np.isfinite(np.asarray(tangent))
+
+
+class TestRecommendedParallelFactor:
+    def test_divides_L(self):
+        from hmm_layer_tpu.ops.recursion import recommended_parallel_factor
+
+        for L in (9999, 3069, 1200, 1023, 97):
+            for q, m in ((15, 1), (33, 1), (33, 5), (127, 1)):
+                p = recommended_parallel_factor(L, q, m)
+                assert L % p == 0, (L, q, m, p)
+
+    def test_shape_regimes(self):
+        from hmm_layer_tpu.ops.recursion import recommended_parallel_factor
+
+        assert recommended_parallel_factor(9999, 15) == 33  # chunk ~300
+        assert recommended_parallel_factor(3069, 33, 1) == 9  # chunk ~340
+        assert recommended_parallel_factor(3069, 33, 5) == 1  # multi-model
+        assert recommended_parallel_factor(3069, 127, 1) == 1  # large q
+        assert recommended_parallel_factor(9999, 33, for_viterbi=True) == 1
+
+    def test_layer_auto(self):
+        import jax
+        import jax.numpy as jnp
+        from hmm_layer_tpu.layer import HMMLayer
+
+        class _T:
+            def init_params(self, key):
+                return {}
+
+            def matrices(self, p):
+                init = jnp.full((1, 4), 0.25)
+                A = jnp.full((1, 4, 4), 0.25)
+                return init, A
+
+            def prior_log_density(self, p):
+                return jnp.zeros((1,))
+
+        class _E:
+            def init_params(self, key, input_dim):
+                return {}
+
+            def emissions(self, p, x, end_hints=None, training=False):
+                return x
+
+            def prior_log_density(self, p):
+                return jnp.zeros((1,))
+
+            def aux_loss(self, p):
+                return jnp.zeros(())
+
+        layer = HMMLayer(_T(), _E(), parallel_factor="auto", use_prior=False)
+        params = layer.init_params(jax.random.PRNGKey(0), 4)
+        x = jnp.full((1, 2, 300, 4), 0.5)
+        ll = layer.log_likelihood(params, x)
+        assert ll.shape == (1, 2)
+        assert layer._pf(x) == 1 or 300 % layer._pf(x) == 0

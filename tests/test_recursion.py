@@ -435,8 +435,9 @@ class TestPallasAffineAdjoint:
         v[:, :, -1] = 0.0  # terminal condition x_L = 0
         s = rng.normal(size=(m, b, L, q)).astype(np.float32)
         args = tuple(map(jnp.asarray, (B, u, v, s)))
-        x_pl = rec._chunked_affine_reverse_pallas(*args, P)
-        x_xla = rec._chunked_affine_reverse_xla(*args, P)
+        x_pl = rec._chunked_affine_reverse(*args, P)
+        monkeypatch.setattr(rec, "_use_pallas_affine", lambda q: False)
+        x_xla = rec._chunked_affine_reverse(*args, P)
         np.testing.assert_allclose(
             np.asarray(x_pl), np.asarray(x_xla), rtol=1e-5, atol=1e-6
         )
@@ -453,11 +454,12 @@ class TestPallasAffineAdjoint:
             v[:, :, -1] = 0.0
             s = rng.normal(size=(1, 2, L, q)).astype(np.float32)
             args = tuple(map(jnp.asarray, (B, u, v, s)))
+            x_pl = rec._chunked_affine_reverse(*args, P)
+            with pytest.MonkeyPatch.context() as mp:
+                mp.setattr(rec, "_use_pallas_affine", lambda q: False)
+                x_xla = rec._chunked_affine_reverse(*args, P)
             np.testing.assert_allclose(
-                np.asarray(rec._chunked_affine_reverse_pallas(*args, P)),
-                np.asarray(rec._chunked_affine_reverse_xla(*args, P)),
-                rtol=1e-5,
-                atol=1e-6,
+                np.asarray(x_pl), np.asarray(x_xla), rtol=1e-5, atol=1e-6
             )
 
     def test_grad_posterior_through_pallas_adjoint(self, monkeypatch):

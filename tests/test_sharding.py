@@ -407,3 +407,149 @@ class TestConfig5Integration:
         ref_paths = recursion.viterbi(init, A, E)
         paths = sharding.state_sharded_viterbi(init_p, A_p, E_p, mesh)
         np.testing.assert_array_equal(np.asarray(paths), np.asarray(ref_paths))
+
+
+class TestSeqShardedGradients:
+    """Differentiable sequence-sharded paths: analytic shard_map-aware VJPs
+    vs the dense analytic VJPs (VERDICT item 4)."""
+
+    def _loss_weights(self, shape, seed=7):
+        return jnp.asarray(
+            np.random.default_rng(seed).normal(size=shape).astype(np.float32)
+        )
+
+    @pytest.mark.parametrize("n_seq,plocal", [(4, 1), (2, 3)])
+    def test_loglik_grads_match_dense(self, n_seq, plocal):
+        init, A, E = random_hmm(RNG, q=6, L=48, b=3)
+        init, A, E = _stack(init, A, E)
+        mesh = sharding.make_mesh({"seq": n_seq})
+        ct = self._loss_weights((1, 3))
+
+        def dense(i, a, e):
+            return jnp.sum(recursion.log_likelihood(i, a, e, 4) * ct)
+
+        def shard(i, a, e):
+            return jnp.sum(
+                sharding.seq_sharded_log_likelihood(
+                    i, a, e, mesh, local_parallel_factor=plocal
+                )
+                * ct
+            )
+
+        args = (jnp.asarray(init), jnp.asarray(A), jnp.asarray(E))
+        g_ref = jax.grad(dense, argnums=(0, 1, 2))(*args)
+        g = jax.grad(shard, argnums=(0, 1, 2))(*args)
+        for a, r in zip(g, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(r), rtol=2e-3, atol=2e-4
+            )
+
+    def test_loglik_grads_with_data_axis(self):
+        init, A, E = random_hmm(RNG, q=5, L=32, b=4)
+        init, A, E = _stack(init, A, E)
+        mesh = sharding.make_mesh({"data": 2, "seq": 4})
+
+        def dense(i, a, e):
+            return recursion.log_likelihood(i, a, e, 4).mean()
+
+        def shard(i, a, e):
+            return sharding.seq_sharded_log_likelihood(
+                i, a, e, mesh, data_axis="data"
+            ).mean()
+
+        args = (jnp.asarray(init), jnp.asarray(A), jnp.asarray(E))
+        g_ref = jax.grad(dense, argnums=(0, 1, 2))(*args)
+        g = jax.grad(shard, argnums=(0, 1, 2))(*args)
+        for a, r in zip(g, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(r), rtol=2e-3, atol=2e-4
+            )
+
+    def test_loglik_grad_zero_transitions(self):
+        # Structural zeros must keep their true nonzero gradient (A is not
+        # clamped by the recursions), including across device boundaries.
+        init, A, E = random_hmm(RNG, q=5, L=24, b=2)
+        A = A.copy()
+        A[0, 3] = 0.0
+        A = A / A.sum(-1, keepdims=True)
+        init, A, E = _stack(init, A, E)
+        mesh = sharding.make_mesh({"seq": 4})
+
+        def dense(a):
+            return recursion.log_likelihood(jnp.asarray(init), a, jnp.asarray(E), 4).sum()
+
+        def shard(a):
+            return sharding.seq_sharded_log_likelihood(
+                jnp.asarray(init), a, jnp.asarray(E), mesh
+            ).sum()
+
+        g_ref = jax.grad(dense)(jnp.asarray(A))
+        g = jax.grad(shard)(jnp.asarray(A))
+        assert np.asarray(g)[0, 0, 3] != 0.0
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(g_ref), rtol=2e-3, atol=2e-4
+        )
+
+
+class TestSeqShardedPosteriorGradients:
+    """Posterior-CE-style training gradients through the sequence-sharded
+    posterior: shard_map-aware analytic adjoints vs the dense analytic VJP."""
+
+    @pytest.mark.parametrize(
+        "n_seq,plocal,no_loglik", [(4, 1, False), (2, 3, False), (4, 1, True)]
+    )
+    def test_grads_match_dense(self, n_seq, plocal, no_loglik):
+        init, A, E = random_hmm(RNG, q=6, L=48, b=2)
+        init, A, E = _stack(init, A, E)
+        mesh = sharding.make_mesh({"seq": n_seq})
+        w = jnp.asarray(
+            np.random.default_rng(13).normal(size=(1, 2, 48, 6)).astype(np.float32)
+        )
+
+        def dense(i, a, e):
+            lg, ll = recursion.posterior(i, a, e, 4, no_loglik=no_loglik)
+            return jnp.sum(lg * w) + 0.3 * jnp.sum(ll)
+
+        def shard(i, a, e):
+            lg, ll = sharding.seq_sharded_posterior(
+                i, a, e, mesh, local_parallel_factor=plocal,
+                no_loglik=no_loglik,
+            )
+            return jnp.sum(lg * w) + 0.3 * jnp.sum(ll)
+
+        args = (jnp.asarray(init), jnp.asarray(A), jnp.asarray(E))
+        g_ref = jax.grad(dense, argnums=(0, 1, 2))(*args)
+        g = jax.grad(shard, argnums=(0, 1, 2))(*args)
+        for a, r in zip(g, g_ref):
+            scale = max(np.abs(np.asarray(r)).max(), 1.0)
+            np.testing.assert_allclose(
+                np.asarray(a) / scale, np.asarray(r) / scale, atol=5e-4
+            )
+
+    def test_posterior_ce_loss_with_data_axis(self):
+        # End-to-end CE-style objective (the Tiberius training mode) on a
+        # data x seq mesh.
+        init, A, E = random_hmm(RNG, q=5, L=32, b=4)
+        init, A, E = _stack(init, A, E)
+        mesh = sharding.make_mesh({"data": 2, "seq": 4})
+        rng = np.random.default_rng(3)
+        labels = jax.nn.one_hot(
+            jnp.asarray(rng.integers(0, 5, size=(1, 4, 32))), 5
+        )
+
+        def dense(a):
+            lg, _ = recursion.posterior(jnp.asarray(init), a, jnp.asarray(E), 4)
+            return -jnp.mean(jnp.sum(labels * lg, axis=-1))
+
+        def shard(a):
+            lg, _ = sharding.seq_sharded_posterior(
+                jnp.asarray(init), a, jnp.asarray(E), mesh, data_axis="data"
+            )
+            return -jnp.mean(jnp.sum(labels * lg, axis=-1))
+
+        g_ref = jax.grad(dense)(jnp.asarray(A))
+        g = jax.grad(shard)(jnp.asarray(A))
+        scale = max(np.abs(np.asarray(g_ref)).max(), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(g) / scale, np.asarray(g_ref) / scale, atol=5e-4
+        )
