@@ -72,6 +72,26 @@ def main():
         f"profile-HMM MAP train step (m={len(LENGTHS)}, q<=155, b={B}, "
         f"L={L}): {per * 1e3:.1f} ms/step -> {B / per:.0f} seqs/sec"
     )
+    import json
+    import os
+
+    baseline = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "baseline_cpu_profile.json"
+    )
+    if os.path.exists(baseline):
+        with open(baseline) as f:
+            ref = json.load(f)
+        print(
+            f"vs torch-eager CPU baseline ({ref['step_s']:.1f} s/step, "
+            f"{ref['threads']} thread(s)): {ref['step_s'] / per:.0f}x"
+        )
+    # Roofline context: fwd + analytic grad ~ 3 * m*b*L*q^2*2 FLOPs.
+    flops = 3 * len(LENGTHS) * B * L * 155 * 155 * 2
+    print(
+        f"roofline: {flops / 1e9:.1f} GFLOP -> ~{flops / 20e12 * 1e3:.1f} ms "
+        f"at 20 TFLOP/s f32; measured/roofline = {per / (flops / 20e12):.0f}x "
+        "(scan-latency-bound: L sequential steps of small per-model matmuls)"
+    )
 
 
 if __name__ == "__main__":
