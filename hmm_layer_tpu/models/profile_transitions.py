@@ -289,6 +289,29 @@ class ProfileTransitions:
         ]
         return {"kernels": kernels, "flank_init_kernel": flank}
 
+    def duplicate(self, params, model_indices=None, share_kernels: bool = False):
+        """Sub-select / copy models — the model-surgery hook mirroring
+        ``ProfileEmissions.duplicate`` (reference: ``Emitter.py:171-197``;
+        learnMSA trains several models and keeps the best)."""
+        if model_indices is None:
+            model_indices = list(range(self.num_models))
+        copy = ProfileTransitions(
+            [self.lengths[i] for i in model_indices],
+            transition_init=[self.transition_init[i] for i in model_indices],
+            flank_init=[self.flank_init[i] for i in model_indices],
+            prior=self.prior,
+            frozen_kernels=self.frozen_kernels,
+        )
+        sub = {
+            "kernels": [params["kernels"][i] for i in model_indices],
+            "flank_init_kernel": [
+                params["flank_init_kernel"][i] for i in model_indices
+            ],
+        }
+        if not share_kernels:
+            sub = jax.tree.map(jnp.copy, sub)
+        return copy, sub
+
     def trainable_mask(self, params) -> dict:
         """Boolean pytree marking trainable leaves (frozen kernel support)."""
         mask_kernels = []

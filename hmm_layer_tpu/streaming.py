@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .ops.recursion import _chunk_summaries_dispatch, _clamped
-from .ops.semiring import logmatmul
+from .ops.semiring import logmatmul, maxargmatvec
 
 __all__ = [
     "StreamingForwardState",
@@ -37,6 +37,10 @@ __all__ = [
     "streaming_update",
     "streaming_log_likelihood",
     "streaming_filter_log_probs",
+    "StreamingViterbiState",
+    "streaming_viterbi_init",
+    "streaming_viterbi_update",
+    "streaming_viterbi_finalize",
 ]
 
 
@@ -109,3 +113,142 @@ def streaming_log_likelihood(state: StreamingForwardState) -> jax.Array:
 def streaming_filter_log_probs(state: StreamingForwardState) -> jax.Array:
     """Filtered state posterior ``log P(s_t | x_{1..t})``, shape (m, b, q)."""
     return state.log_filter
+
+
+# ---------------------------------------------------------------------------
+# Streaming (bounded-lag, online) Viterbi decode
+# ---------------------------------------------------------------------------
+
+
+class StreamingViterbiState(NamedTuple):
+    """Decision-feedback fixed-lag decoder state.
+
+    ``buf_log_E``: (m, b, lag, q) log emissions of the last ``lag``
+    positions (not yet committed). ``seam_state``: (m, b) int32 — the
+    decoded state at the last committed position. ``started``: () bool —
+    False until the first block (the recursion then starts from ``init``
+    instead of the seam conditioning).
+    """
+
+    buf_log_E: jax.Array
+    seam_state: jax.Array
+    started: jax.Array
+
+
+def _viterbi_window_decode(log_init, log_A, start_onehot, started, log_E_win):
+    """Conditional delta pass + backtrace over a window of emissions.
+
+    ``log_E_win``: (m, b, W, q). The recursion starts from ``log_init``
+    (stream head) or from the seam state's A-row (``start_onehot`` one-hot
+    over states) — decision feedback keeps every committed transition
+    valid, exactly like the chunked decoder's conditional chunk starts
+    (``ops.recursion._conditional_viterbi_starts``).
+
+    Returns states (m, b, W) int32 for the whole window (backtraced from
+    the window-end argmax).
+    """
+    m, b, W, q = log_E_win.shape
+    Et = jnp.moveaxis(log_E_win, 2, 0)  # (W, m, b, q)
+    seam_row = jnp.einsum("mbi,miq->mbq", start_onehot, log_A)
+    start = jnp.where(started, seam_row, log_init[:, None, :])
+    delta0 = start + Et[0]
+
+    def step(delta, e_t):
+        best, _ = maxargmatvec(delta, log_A[:, None, :, :])
+        new = best + e_t
+        return new, new
+
+    _, deltas_rest = lax.scan(step, delta0, Et[1:])
+    deltas = jnp.concatenate([delta0[None], deltas_rest], axis=0)  # (W,m,b,q)
+
+    last = jnp.argmax(deltas[-1], axis=-1).astype(jnp.int32)
+
+    def backstep(state, delta_prev):
+        onehot = jax.nn.one_hot(state, q, dtype=delta_prev.dtype)
+        acol = jnp.einsum("miq,mbq->mbi", log_A, onehot)  # A[:, state]
+        prev = jnp.argmax(delta_prev + acol, axis=-1).astype(jnp.int32)
+        return prev, prev
+
+    _, rest = lax.scan(backstep, last, deltas[:-1], reverse=True)
+    states = jnp.concatenate([rest, last[None]], axis=0)  # (W, m, b)
+    return jnp.moveaxis(states, 0, 2)
+
+
+def streaming_viterbi_init(
+    init, A, E_block, lag: int
+) -> tuple[StreamingViterbiState, jax.Array]:
+    """Start a bounded-lag streaming decode with the first emission block.
+
+    Args:
+        init: (m, q); A: (m, q, q); E_block: (m, b, L_block, q) linear
+            emissions with ``L_block >= lag``.
+        lag: decision lag D — positions are committed once D future
+            positions have been consumed. Commitments are the fixed-lag
+            (on-line Viterbi) approximation: exact whenever all survivor
+            paths merge within D steps (choose D ~ a few times the model's
+            mixing length); the emitted sequence is ALWAYS one valid path
+            (decision-feedback seam conditioning).
+
+    Returns:
+        (state, committed (m, b, L_block - lag) int32).
+    """
+    m, b, L_block, q = E_block.shape
+    if L_block < lag:
+        raise ValueError(f"first block length {L_block} must be >= lag {lag}")
+    log_E = jnp.log(_clamped(E_block))
+    log_init = jnp.log(_clamped(init))
+    log_A = jnp.log(_clamped(A))
+    dummy = jnp.zeros((m, b, q), log_E.dtype)
+    states = _viterbi_window_decode(
+        log_init, log_A, dummy, jnp.asarray(False), log_E
+    )
+    n_commit = L_block - lag
+    state = StreamingViterbiState(
+        buf_log_E=log_E[:, :, n_commit:],
+        seam_state=states[:, :, n_commit - 1]
+        if n_commit
+        else jnp.zeros((m, b), jnp.int32),
+        started=jnp.asarray(n_commit > 0),
+    )
+    return state, states[:, :, :n_commit]
+
+
+def streaming_viterbi_update(
+    state: StreamingViterbiState, init, A, E_block
+) -> tuple[StreamingViterbiState, jax.Array]:
+    """Consume the next block; returns (state, committed (m, b, L_block)).
+
+    Decodes the (lag + L_block) window from the seam conditioning and
+    commits the oldest ``L_block`` positions.
+    """
+    m, b, L_block, q = E_block.shape
+    lag = state.buf_log_E.shape[2]
+    log_E = jnp.log(_clamped(E_block))
+    log_A = jnp.log(_clamped(A))
+    log_init = jnp.log(_clamped(init))
+    win = jnp.concatenate([state.buf_log_E, log_E], axis=2)
+    onehot = jax.nn.one_hot(state.seam_state, q, dtype=log_E.dtype)
+    states = _viterbi_window_decode(
+        log_init, log_A, onehot, state.started, win
+    )
+    committed = states[:, :, :L_block]
+    new_state = StreamingViterbiState(
+        buf_log_E=win[:, :, L_block:],
+        seam_state=committed[:, :, -1],
+        started=jnp.asarray(True),
+    )
+    return new_state, committed
+
+
+def streaming_viterbi_finalize(
+    state: StreamingViterbiState, init, A
+) -> jax.Array:
+    """End the stream: decode and commit the remaining ``lag`` buffered
+    positions (exact for the tail, given the seam)."""
+    m, b, lag, q = state.buf_log_E.shape
+    log_A = jnp.log(_clamped(A))
+    log_init = jnp.log(_clamped(init))
+    onehot = jax.nn.one_hot(state.seam_state, q, dtype=state.buf_log_E.dtype)
+    return _viterbi_window_decode(
+        log_init, log_A, onehot, state.started, state.buf_log_E
+    )

@@ -14,17 +14,60 @@ optax-based trainer over :class:`hmm_layer_tpu.layer.HMMLayer` with
 
 from __future__ import annotations
 
-from typing import Iterable
+import inspect
+from typing import Iterable, NamedTuple
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 import optax
 
 from .layer import HMMLayer
 from .utils import checkpoint as ckpt
 from .utils.metrics import MetricsLogger, Throughput
 
-__all__ = ["Trainer", "make_frozen_mask"]
+__all__ = ["Trainer", "make_frozen_mask", "select_models", "FitSelectResult"]
+
+
+def select_models(component, params, indices):
+    """Sub-select models from a transition/emission component.
+
+    Uses the component's ``duplicate(params, model_indices=...)`` surgery
+    hook where available (profile family); otherwise rebuilds from config
+    with the new ``num_models`` and slices each param leaf whose leading
+    axis carries the model count (gene-pred family — leaves without a model
+    axis, e.g. shared transition kernels, pass through).
+    """
+    if hasattr(component, "duplicate"):
+        sig = inspect.signature(component.duplicate)
+        if "model_indices" in sig.parameters:
+            return component.duplicate(params, model_indices=list(indices))
+    n = getattr(component, "num_models", 1)
+    config = component.get_config()
+    if "num_models" in config:
+        config["num_models"] = len(indices)
+    copy = type(component).from_config(config)
+    idx = jnp.asarray(list(indices))
+
+    def take(x):
+        x = jnp.asarray(x)
+        if x.ndim and x.shape[0] == n:
+            return jnp.take(x, idx, axis=0)
+        return jnp.copy(x)
+
+    return copy, jax.tree.map(take, params)
+
+
+class FitSelectResult(NamedTuple):
+    """Result of :meth:`Trainer.fit_select`."""
+
+    params: dict  # all-model params after training
+    opt_state: object
+    loss: object
+    scores: np.ndarray  # (num_models,) mean per-model log-likelihood
+    ranking: np.ndarray  # model indices, best first
+    layer: HMMLayer  # layer holding only the kept model(s)
+    selected_params: dict  # params of the kept model(s)
 
 
 def make_frozen_mask(layer: HMMLayer, params) -> dict:
@@ -152,3 +195,68 @@ class Trainer:
                     step=step_idx,
                 )
         return params, opt_state, loss
+
+    def score_models(self, params, batches: Iterable) -> np.ndarray:
+        """Mean per-model log-likelihood over ``batches``; (num_models,)."""
+        total = count = 0
+        for batch in batches:
+            if isinstance(batch, tuple):
+                batch = batch[0]
+            ll = self.layer.log_likelihood(params, batch)  # (m, b)
+            total = total + np.asarray(jnp.sum(ll, axis=1))
+            count += batch.shape[1]
+        return total / max(count, 1)
+
+    def fit_select(
+        self,
+        params,
+        opt_state,
+        batches: Iterable,
+        score_batches: Iterable,
+        steps: int | None = None,
+        keep: int = 1,
+        log_every: int = 10,
+    ) -> FitSelectResult:
+        """Train all models jointly, score them, keep the best.
+
+        The learnMSA workflow (SURVEY §5 checkpoint row): n models train
+        jointly on the engine's model axis, are ranked by held-out mean
+        log-likelihood, and the best ``keep`` are carved out with the
+        components' ``duplicate``/config surgery (:func:`select_models`)
+        into a ready-to-use :class:`HMMLayer` + params.
+        """
+        params, opt_state, loss = self.fit(
+            params, opt_state, batches, steps=steps, log_every=log_every
+        )
+        scores = self.score_models(params, score_batches)
+        ranking = np.argsort(-scores)
+        best = [int(i) for i in ranking[:keep]]
+
+        new_trans, trans_params = select_models(
+            self.layer.transitions, params["transitions"], best
+        )
+        new_emissions, em_params = [], []
+        for em, p in zip(self.layer.emissions, params["emissions"]):
+            ne, np_ = select_models(em, p, best)
+            new_emissions.append(ne)
+            em_params.append(np_)
+        layer = HMMLayer(
+            new_trans,
+            new_emissions,
+            num_seqs=self.layer.num_seqs,
+            use_prior=self.layer.use_prior,
+            sequence_weights=self.layer.sequence_weights,
+            parallel_factor=self.layer.parallel_factor,
+        )
+        return FitSelectResult(
+            params=params,
+            opt_state=opt_state,
+            loss=loss,
+            scores=scores,
+            ranking=ranking,
+            layer=layer,
+            selected_params={
+                "transitions": trans_params,
+                "emissions": em_params,
+            },
+        )

@@ -696,3 +696,78 @@ class TestBlockedViterbiDecode:
         )
         got = recursion.viterbi(jnp.asarray(init), jnp.asarray(A), jnp.asarray(E))
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+class TestStreamingViterbi:
+    """Bounded-lag online decode: block-streamed fixed-lag Viterbi with
+    decision-feedback seam conditioning."""
+
+    def _decode_streamed(self, init, A, E, block, lag):
+        from hmm_layer_tpu import streaming
+
+        L = E.shape[2]
+        state, out0 = streaming.streaming_viterbi_init(
+            init, A, E[:, :, :block], lag
+        )
+        outs = [np.asarray(out0)]
+        for s in range(block, L, block):
+            state, out = streaming.streaming_viterbi_update(
+                state, init, A, E[:, :, s : s + block]
+            )
+            outs.append(np.asarray(out))
+        outs.append(
+            np.asarray(streaming.streaming_viterbi_finalize(state, init, A))
+        )
+        return np.concatenate(outs, axis=-1)
+
+    def test_matches_offline_with_sufficient_lag(self):
+        init, A, E = random_hmm(RNG, q=5, L=96, b=3, peaked=True)
+        ini, Aj, Ej = map(jnp.asarray, _stack(init, A, E))
+        offline = np.asarray(recursion.viterbi(ini, Aj, Ej))
+        streamed = self._decode_streamed(ini, Aj, Ej, block=24, lag=16)
+        np.testing.assert_array_equal(streamed, offline)
+
+    def test_first_block_equals_lag(self):
+        # n_commit == 0 in init: everything buffered, stream still correct.
+        init, A, E = random_hmm(RNG, q=4, L=48, b=2, peaked=True)
+        ini, Aj, Ej = map(jnp.asarray, _stack(init, A, E))
+        offline = np.asarray(recursion.viterbi(ini, Aj, Ej))
+        streamed = self._decode_streamed(ini, Aj, Ej, block=12, lag=12)
+        np.testing.assert_array_equal(streamed, offline)
+
+    def test_small_lag_still_valid_path(self):
+        # With an aggressive lag the decode may deviate from the offline
+        # optimum, but every emitted transition must remain valid (the
+        # decision-feedback conditioning guarantee).
+        init, A, E = random_hmm(RNG, q=6, L=64, b=2)
+        A = A.copy()
+        A[0, 4] = 0.0
+        A[2, 5] = 0.0
+        A = A / A.sum(-1, keepdims=True)
+        ini, Aj, Ej = map(jnp.asarray, _stack(init, A, E))
+        streamed = self._decode_streamed(ini, Aj, Ej, block=16, lag=2)
+        pre, nxt = streamed[..., :-1], streamed[..., 1:]
+        probs = A[pre, nxt]
+        assert (probs > 0).all()
+
+    def test_score_near_optimal_small_lag(self):
+        init, A, E = random_hmm(RNG, q=5, L=80, b=2, peaked=True)
+        ini, Aj, Ej = map(jnp.asarray, _stack(init, A, E))
+        offline = np.asarray(recursion.viterbi(ini, Aj, Ej))
+        streamed = self._decode_streamed(ini, Aj, Ej, block=20, lag=4)
+
+        def score(paths):
+            lp = np.log(np.maximum(init[paths[0, :, 0]], 1e-30))
+            lp = lp + np.log(
+                np.maximum(
+                    E[np.arange(2)[:, None], np.arange(80)[None], paths[0]], 1e-30
+                )
+            ).sum(-1)
+            lp = lp + np.log(
+                np.maximum(A[paths[0, :, :-1], paths[0, :, 1:]], 1e-30)
+            ).sum(-1)
+            return lp
+
+        s_off, s_str = score(offline), score(streamed)
+        assert (s_str <= s_off + 1e-3).all()
+        assert (s_str >= s_off - 2.0).all()  # near-optimal

@@ -215,3 +215,77 @@ class TestSubstitution:
         assert R2.shape == (20, 20)
         assert not np.allclose(R, R2)  # reordered
         assert abs(p2.sum() - 1) < 1e-4
+
+
+class TestFitSelect:
+    """learnMSA-style model-selection workflow: train n models jointly,
+    rank by held-out loglik, carve out the best via component surgery."""
+
+    def test_profile_fit_select(self):
+        from hmm_layer_tpu.models import ProfileEmissions, ProfileTransitions
+
+        lengths = [4, 5, 6]
+        layer = HMMLayer(
+            ProfileTransitions(lengths),
+            ProfileEmissions(lengths),
+            use_prior=False,
+        )
+        params = layer.init_params(KEY, input_dim=26)
+        rng = np.random.default_rng(0)
+        x = jax.nn.one_hot(
+            jnp.asarray(rng.integers(0, 25, size=(1, 8, 12))), 26,
+            dtype=jnp.float32,
+        )
+        x = jnp.broadcast_to(x, (3, 8, 12, 26))
+        trainer = Trainer(layer, optimizer=optax.adam(1e-2))
+        params, opt_state = trainer.init(KEY, input_dim=26)
+        res = trainer.fit_select(
+            params, opt_state, [x] * 3, score_batches=[x], keep=1
+        )
+        assert res.scores.shape == (3,)
+        best = int(res.ranking[0])
+        assert res.layer.transitions.num_models == 1
+        assert res.layer.transitions.lengths == [lengths[best]]
+        # Selected single-model layer reproduces the joint layer's loglik
+        # for the chosen model.
+        ll_joint = np.asarray(layer.log_likelihood(res.params, x))
+        q_best = 2 * lengths[best] + 3
+        x_best = x[best : best + 1]
+        ll_sel = np.asarray(
+            res.layer.log_likelihood(res.selected_params, x_best)
+        )
+        np.testing.assert_allclose(ll_sel[0], ll_joint[best], rtol=1e-5)
+
+    def test_gene_pred_fit_select_config_path(self):
+        # SimpleGenePred components have no indexed duplicate — selection
+        # goes through the config + leading-axis slice fallback.
+        m = 3
+        layer = HMMLayer(
+            SimpleGenePredTransitions(num_models=m),
+            SimpleGenePredEmissions(num_models=m),
+            use_prior=False,
+        )
+        params = layer.init_params(KEY, input_dim=7)
+        # Make per-model emissions differ so scores differ.
+        params["emissions"][0]["emission_kernel"] = jnp.asarray(
+            np.random.default_rng(1)
+            .normal(size=np.asarray(params["emissions"][0]["emission_kernel"]).shape)
+            .astype(np.float32)
+        )
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(
+            rng.dirichlet(np.ones(7), size=(m, 4, 9)).astype(np.float32)
+        )
+        trainer = Trainer(layer, optimizer=optax.adam(1e-2))
+        p2, opt_state = trainer.init(KEY, input_dim=7)
+        p2["emissions"] = params["emissions"]
+        res = trainer.fit_select(
+            p2, opt_state, [x], score_batches=[x], keep=1
+        )
+        best = int(res.ranking[0])
+        assert res.layer.emissions[0].num_models == 1
+        ll_joint = np.asarray(layer.log_likelihood(res.params, x))
+        ll_sel = np.asarray(
+            res.layer.log_likelihood(res.selected_params, x[best : best + 1])
+        )
+        np.testing.assert_allclose(ll_sel[0], ll_joint[best], rtol=1e-5)
