@@ -1,0 +1,178 @@
+"""MXU-ready Pallas summary kernel (flag-gated, dormant on current axon).
+
+MXU matmuls inside Pallas kernels HANG through the axon toolchain (even a
+minimal 128x128 ``jnp.dot`` pallas_call never returns from compile — see
+CLAUDE.md), so the shipping kernels are VPU-only. This module stages the
+MXU formulation of the sum-product chunk-summary scan so the ~2x win lands
+the day the toolchain fix does: set ``HMM_PALLAS_MXU=1`` to enable the
+dispatch (``ops.recursion._chunk_summaries_dispatch``).
+
+Layout (states on LANES — the transpose of the VPU kernels):
+
+* carry ``M[(el, i), k]``: rows = (chunk element, border state) pairs
+  (``eb`` elements x ``qb`` 8-padded border rows = one 128-row tile),
+  lanes = current state ``k`` (q <= 128 on one lane tile).
+* step: ``M_new = (M @ A) * e`` — ONE (rows, qp) x (qp, qp) MXU matmul per
+  step plus a static one-hot row-broadcast matmul for the emissions,
+  row-rescaled with a lane reduction. MXU utilization grows with q
+  (~50% at q=64, full at q=128) — exactly the regime where the VPU
+  max-trees fall behind.
+
+Parity with the XLA summary scan is tested in interpreter mode
+(tests/test_recursion.py::TestMxuSummaryKernel).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["MXU_KERNELS", "mxu_supported", "sum_chunk_summaries_mxu"]
+
+# Opt-in only: flip HMM_PALLAS_MXU=1 once the axon Mosaic toolchain stops
+# hanging on in-kernel dot_general.
+MXU_KERNELS = os.environ.get("HMM_PALLAS_MXU", "0") == "1"
+
+_EPS = np.float32(1e-16)
+_TINY = np.float32(1e-30)
+
+
+def mxu_supported(q: int) -> bool:
+    return 16 < q <= 128
+
+
+def _round8(x: int) -> int:
+    return -(-x // 8) * 8
+
+
+def _mxu_summary_kernel(
+    c: int, P: int, q: int, qp: int, qb: int, eb: int,
+    A_ref, Av_ref, e_ref, out_ref, M, LL,
+):
+    """Grid = (R // eb, c); one step = one timestep of ``eb`` chunk elements.
+
+    A_ref: (qp, qp) VMEM — linear transition matrix, lanes = target state.
+    Av_ref: (qp, qp) VMEM — same matrix (read as rows at init).
+    e_ref: (1, eb, qp) VMEM — emissions of this step, rows = elements.
+    out_ref: (eb * qb, qp) — final log operators, written at t == c-1.
+    M: (eb * qb, qp) scratch — row-scaled running operators.
+    LL: (eb * qb, 1) scratch — accumulated log-scale per row.
+    """
+    t = pl.program_id(1)
+    blk = pl.program_id(0)
+    rows = eb * qb
+    row_el = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) // qb
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) % qb
+    # Static one-hot row->element matrix for emission broadcasts.
+    onehot_el = (
+        row_el == jax.lax.broadcasted_iota(jnp.int32, (rows, eb), 1)
+    ).astype(jnp.float32)
+
+    def e_rows():
+        return jax.lax.dot_general(
+            onehot_el, e_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (rows, qp): e[k] broadcast over the border rows of each element
+
+    def rescale(s):
+        z = jnp.maximum(jnp.sum(s, axis=1, keepdims=True), _TINY)
+        M[:, :] = s / z
+        return jnp.log(z)
+
+    @pl.when(t == 0)
+    def _init():
+        # Row (el, i) starts as identity row e_i (first chunk of a
+        # sequence) or A[i, :] otherwise, times the first emission.
+        el_global = blk * eb + row_el
+        is_first = ((el_global % P) == 0).astype(jnp.float32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rows, qp), 1)
+        eye_rows = (lane == row_i).astype(jnp.float32)
+        # A rows gathered by border index: onehot(i) @ A.
+        onehot_i = (
+            row_i == jax.lax.broadcasted_iota(jnp.int32, (rows, qp), 1)
+        ).astype(jnp.float32)
+        a_rows = jax.lax.dot_general(
+            onehot_i, Av_ref[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        R0 = is_first * eye_rows + (1.0 - is_first) * a_rows
+        s = jnp.maximum(R0, 0.0) * jnp.maximum(e_rows(), _EPS)
+        LL[:, :] = rescale(s)
+
+    @pl.when(t > 0)
+    def _step():
+        r = jax.lax.dot_general(
+            M[:, :], A_ref[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = jnp.maximum(r, _EPS) * jnp.maximum(e_rows(), _EPS)
+        LL[:, :] = LL[:, :] + rescale(s)
+
+    @pl.when(t == c - 1)
+    def _flush():
+        out_ref[:, :] = jnp.log(jnp.maximum(M[:, :], _TINY)) + LL[:, :]
+
+
+@partial(jax.jit, static_argnames=("P", "interpret"))
+def sum_chunk_summaries_mxu(A, E_S, P: int, interpret: bool = False):
+    """Log-space chunk transfer operators via the MXU formulation.
+
+    Args:
+        A: (q, q) linear transition matrix.
+        E_S: (c, R, q) linear emissions, time-major with STATES ON LANES
+            (the natural layout — no host-side transpose); lane padding to
+            qp and element padding of R to a multiple of ``eb`` happen
+            here. Values should be pre-clamped to > 0.
+        P: chunks per sequence (element r = sequence r // P, chunk r % P).
+
+    Returns:
+        C: (R, q, q) with ``C[r, i, j] = log P(chunk-r emissions,
+        right-border state j | left-border state i)``.
+    """
+    c, R, q = E_S.shape
+    if not mxu_supported(q):
+        raise ValueError(f"MXU summary kernel needs 16 < q <= 128, got {q}")
+    qp = max(128, _round8(q))  # one full lane tile
+    qb = _round8(q)  # border rows per element
+    eb = max(1, 128 // qb)  # elements per 128-row block
+    R_pad = -(-R // eb) * eb
+
+    A_pad = jnp.zeros((qp, qp), jnp.float32)
+    A_pad = A_pad.at[:q, :q].set(A.astype(jnp.float32))
+    E_pad = jnp.pad(
+        E_S, ((0, 0), (0, R_pad - R), (0, qp - q)), constant_values=1.0
+    )
+
+    grid = (R_pad // eb, c)
+    out = pl.pallas_call(
+        partial(_mxu_summary_kernel, c, P, q, qp, qb, eb),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # A
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # A (init rows)
+            pl.BlockSpec(
+                (1, eb, qp), lambda j, t: (t, j, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (eb * qb, qp), lambda j, t: (j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((R_pad * qb, qp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((eb * qb, qp), jnp.float32),
+            pltpu.VMEM((eb * qb, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(A_pad, A_pad, E_pad)
+
+    C = out.reshape(R_pad, qb, qp)[:R, :q, :q]
+    return C

@@ -50,7 +50,7 @@ from jax import lax
 from functools import partial
 
 from .semiring import EPS, logmatmul, maxargmatvec, maxmatmul
-from . import pallas_adjoint, pallas_forward, pallas_viterbi
+from . import pallas_adjoint, pallas_forward, pallas_mxu, pallas_viterbi
 
 # The DP recursions are numerically sensitive: on TPU the default matmul
 # precision is bfloat16, whose per-step rounding accumulates linearly in L
@@ -920,6 +920,20 @@ def _chunk_summaries_dispatch(A, E, P):
     if _use_pallas(q, m):
         E_T, c, R, R_pad = _pallas_chunk_inputs(E, P)
         return _chunk_summaries_pallas(A, E_T, P, m, b, R)
+    if (
+        pallas_mxu.MXU_KERNELS
+        and pallas_mxu.mxu_supported(q)
+        and _pallas_backend_ok()
+    ):
+        # Dormant MXU formulation (HMM_PALLAS_MXU=1) — see ops.pallas_mxu.
+        Ec, _ = _split_chunks(_clamped(E), P)  # (m, bP, c, q)
+        E_S = jnp.moveaxis(Ec, 2, 1)  # (m, c, bP, q): states on lanes
+        C_flat = jax.vmap(
+            lambda A1, E1: pallas_mxu.sum_chunk_summaries_mxu(
+                A1, E1, P, interpret=pallas_viterbi.FORCE_INTERPRET
+            )
+        )(A, E_S)  # (m, R, q, q)
+        return jnp.moveaxis(C_flat.reshape(m, b, P, q, q), 2, 0)
     return _chunk_summaries(A, E, P)[0]
 
 

@@ -771,3 +771,46 @@ class TestStreamingViterbi:
         s_off, s_str = score(offline), score(streamed)
         assert (s_str <= s_off + 1e-3).all()
         assert (s_str >= s_off - 2.0).all()  # near-optimal
+
+
+class TestMxuSummaryKernel:
+    """Flag-gated MXU formulation of the chunk-summary scan (dormant until
+    the axon toolchain stops hanging on in-kernel dot_general). Parity in
+    interpreter mode."""
+
+    @pytest.mark.parametrize("q", [17, 33, 64])
+    def test_matches_xla_summaries(self, q):
+        from hmm_layer_tpu.ops import pallas_mxu
+
+        rng = np.random.default_rng(q)
+        m, b, L, Pf = 1, 3, 24, 4
+        A = jnp.asarray(rng.dirichlet(np.ones(q), size=(m, q)).astype(np.float32))
+        E = jnp.asarray(
+            rng.uniform(0.05, 1.0, size=(m, b, L, q)).astype(np.float32)
+        )
+        C_ref, _ = recursion._chunk_summaries(A, E, Pf)
+        Ec, _ = recursion._split_chunks(E, Pf)
+        E_S = jnp.moveaxis(Ec, 2, 1)[0]  # (c, bP, q)
+        C = pallas_mxu.sum_chunk_summaries_mxu(A[0], E_S, Pf, interpret=True)
+        C = jnp.moveaxis(C.reshape(b, Pf, q, q), 1, 0)  # (P, b, q, q)
+        np.testing.assert_allclose(
+            np.asarray(C), np.asarray(C_ref[:, 0]), rtol=2e-4, atol=2e-4
+        )
+
+    def test_flagged_dispatch_loglik(self, monkeypatch):
+        from hmm_layer_tpu.ops import pallas_mxu, pallas_viterbi
+
+        monkeypatch.setattr(pallas_mxu, "MXU_KERNELS", True)
+        monkeypatch.setattr(pallas_viterbi, "FORCE_INTERPRET", True)
+        rng = np.random.default_rng(1)
+        q, b, L = 33, 2, 24
+        init = jnp.asarray(rng.dirichlet(np.ones(q), size=1).astype(np.float32))
+        A = jnp.asarray(rng.dirichlet(np.ones(q), size=(1, q)).astype(np.float32))
+        E = jnp.asarray(
+            rng.uniform(0.05, 1.0, size=(1, b, L, q)).astype(np.float32)
+        )
+        ll_ref = recursion.log_likelihood(init, A, E, 1)
+        ll = recursion.log_likelihood(init, A, E, 4)
+        np.testing.assert_allclose(
+            np.asarray(ll), np.asarray(ll_ref), rtol=2e-4
+        )
