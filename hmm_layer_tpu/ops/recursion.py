@@ -244,12 +244,19 @@ def _summaries_from_rows(A, Et, R0):
 
 
 def _boundary_values(init, C):
-    """Exact forward/backward values at chunk boundaries via associative scan.
+    """Exact forward/backward values at chunk boundaries.
 
-    Prefix and suffix products run as ONE associative scan: the suffix of
-    ``C`` equals the (flipped, transposed) prefix of the flipped, transposed
-    operators, so both directions batch into a single combine stream —
-    halving the scan's level-launch overhead for tiny q x q operands.
+    Two regimes, both serving prefix AND suffix in ONE batched stream (the
+    suffix of ``C`` equals the flipped prefix of the flipped, transposed
+    operators):
+
+    * P <= 64 — a sequential VECTOR fold (one ``lax.scan`` of log-matvec
+      steps): O(P·q²) work. The log-depth alternative below costs
+      O(P log P · q³) matrix products plus their q³ exp/LSE broadcasts —
+      measured 0.42 ms of a 1.36 ms flagship posterior at P=33 before this
+      fold replaced it.
+    * P > 64 — the log-matmul associative scan (sequential depth log P),
+      worth its extra FLOPs only once P is large.
 
     Args:
         init: (m, q) linear initial distribution.
@@ -261,8 +268,26 @@ def _boundary_values(init, C):
            (S[P-1] = 0).
         loglik: (m, b).
     """
-    P, m, b = C.shape[:3]
+    P, m, b, q = C.shape[:4]
     log_init = jnp.log(_clamped(init))  # (m, q)
+
+    if P <= 64:
+        D = jnp.flip(C, axis=0).swapaxes(-1, -2)
+        v0 = jnp.broadcast_to(log_init[:, None, :], (m, b, q))
+        u0 = jnp.concatenate([v0, jnp.zeros_like(v0)], axis=1)  # (m, 2b, q)
+
+        def fold(u, X):
+            u_new = logmatmul(u[..., None, :], X)[..., 0, :]
+            return u_new, u_new
+
+        _, outs = lax.scan(fold, u0, jnp.concatenate([C, D], axis=2))
+        T = outs[:, :, :b]  # (P, m, b, q)
+        W = outs[:, :, b:]  # W[k] = backward at the start of chunk P-1-k
+        S = jnp.concatenate(
+            [jnp.flip(W, axis=0)[1:], jnp.zeros_like(T[:1])], axis=0
+        )
+        loglik = jax.nn.logsumexp(T[-1], axis=-1)
+        return T, S, loglik
 
     D = jnp.flip(C, axis=0).swapaxes(-1, -2)
     Y = lax.associative_scan(
