@@ -289,3 +289,64 @@ class TestFitSelect:
             res.layer.log_likelihood(res.selected_params, x[best : best + 1])
         )
         np.testing.assert_allclose(ll_sel[0], ll_joint[best], rtol=1e-5)
+
+
+class TestResilience:
+    def test_hang_watchdog_fires_and_dumps(self, capsys):
+        import io
+        import time as _time
+
+        from hmm_layer_tpu.utils.resilience import HangWatchdog
+
+        buf = io.StringIO()
+        called = []
+        wd = HangWatchdog(
+            timeout_s=0.05, on_timeout=lambda: called.append(1), stream=buf
+        )
+        with wd:
+            _time.sleep(0.2)
+        assert wd.fired and called == [1]
+        assert "thread stacks" in buf.getvalue()
+
+    def test_hang_watchdog_disarms(self):
+        from hmm_layer_tpu.utils.resilience import HangWatchdog
+
+        wd = HangWatchdog(timeout_s=0.2)
+        with wd:
+            pass
+        import time as _time
+
+        _time.sleep(0.3)
+        assert not wd.fired
+
+    def test_latest_checkpoint_roundtrip(self, tmp_path):
+        from hmm_layer_tpu.utils.resilience import latest_checkpoint
+
+        params = {"a": jnp.arange(3.0), "b": [jnp.ones((2, 2))]}
+        assert latest_checkpoint(str(tmp_path)) is None
+        for step in (10, 200, 30):
+            ckpt.save_checkpoint(
+                str(tmp_path / f"step_{step}.npz"), params, step=step
+            )
+        path, step = latest_checkpoint(str(tmp_path))
+        assert step == 200 and path.endswith("step_200.npz")
+        restored = ckpt.load_checkpoint(path, like=params)
+        np.testing.assert_allclose(restored["a"], np.arange(3.0))
+
+    def test_init_distributed_retries_then_raises(self, monkeypatch):
+        import jax
+
+        from hmm_layer_tpu.utils import resilience
+
+        calls = []
+
+        def failing(**kw):
+            calls.append(1)
+            raise RuntimeError("coordinator unavailable")
+
+        monkeypatch.setattr(jax.distributed, "initialize", failing)
+        with pytest.raises(RuntimeError, match="coordinator"):
+            resilience.init_distributed_with_retries(
+                max_retries=2, backoff_s=0.01
+            )
+        assert len(calls) == 3
