@@ -224,6 +224,7 @@ class GenePredEmissions(SimpleGenePredEmissions):
         intron_end_pattern,
         l2_lambda: float = 0.01,
         trainable_nucleotides_at_exons: bool = False,
+        compute_kmers_in_bf16: bool = True,
         **kwargs,
     ):
         self.num_states = 1 + 14 * kwargs.get("num_copies", 1)
@@ -234,6 +235,13 @@ class GenePredEmissions(SimpleGenePredEmissions):
         self.intron_end_pattern = intron_end_pattern
         self.l2_lambda = l2_lambda
         self.trainable_nucleotides_at_exons = trainable_nucleotides_at_exons
+        # The (b, L, 64) 3-mer tensors dominate emission-scoring HBM traffic
+        # (~160 MB/batch at L=10k); bf16 halves it. For one-hot ACGTN inputs
+        # (the contract) every 3-mer entry is a power of two — EXACT in
+        # bf16; for soft nucleotide inputs the codon factor picks up
+        # <=0.4% relative error (far below model uncertainty). The codon
+        # contraction accumulates in f32 (MXU bf16-in/f32-accumulate).
+        self.compute_kmers_in_bf16 = compute_kmers_in_bf16
 
         start = make_codon_probs(start_codons, pivot_left=True)
         stop = make_codon_probs(stop_codons, pivot_left=False)
@@ -277,16 +285,25 @@ class GenePredEmissions(SimpleGenePredEmissions):
 
         m, b, L = nucleotides.shape[:3]
         nuc_flat = nucleotides.reshape(m * b, L, 5)
+        if self.compute_kmers_in_bf16:
+            nuc_flat = nuc_flat.astype(jnp.bfloat16)
         left_3mers = make_k_mers(nuc_flat, k=3, pivot_left=True).reshape(m, b, L, 64)
         right_3mers = make_k_mers(nuc_flat, k=3, pivot_left=False).reshape(
             m, b, L, 64
         )
-        # Two (64 -> 9) contractions, then the per-state product of both sides.
+        # Two (64 -> 9) contractions (f32 accumulation), then the per-state
+        # product of both sides.
         left_factor = jnp.einsum(
-            "mbls,qs->mblq", left_3mers, jnp.asarray(self.codon_probs[0])
+            "mbls,qs->mblq",
+            left_3mers,
+            jnp.asarray(self.codon_probs[0]),
+            preferred_element_type=jnp.float32,
         )
         right_factor = jnp.einsum(
-            "mbls,qs->mblq", right_3mers, jnp.asarray(self.codon_probs[1])
+            "mbls,qs->mblq",
+            right_3mers,
+            jnp.asarray(self.codon_probs[1]),
+            preferred_element_type=jnp.float32,
         )
         codon_factor = left_factor * right_factor  # (m, b, L, 9)
 
@@ -339,6 +356,7 @@ class GenePredEmissions(SimpleGenePredEmissions):
                 "intron_end_pattern": self.intron_end_pattern,
                 "l2_lambda": self.l2_lambda,
                 "trainable_nucleotides_at_exons": self.trainable_nucleotides_at_exons,
+                "compute_kmers_in_bf16": self.compute_kmers_in_bf16,
             }
         )
         return config

@@ -962,10 +962,10 @@ def _chunk_summaries_dispatch(A, E, P):
     return _chunk_summaries(A, E, P)[0]
 
 
-def _loglik_chunked_primal(init, A, E, P):
-    C = _chunk_summaries_dispatch(A, E, P)
-    # Prefix-only fold — no suffix products (the fused prefix+suffix scan
-    # in _boundary_values is not reliably DCE'd down to one direction).
+def _loglik_from_C(init, C):
+    """Prefix-only fold of chunk operators — no suffix products (the fused
+    prefix+suffix scan in _boundary_values is not reliably DCE'd down to
+    one direction)."""
     log_init = jnp.log(_clamped(init))
     m, b = C.shape[1:3]
     v0 = jnp.broadcast_to(log_init[:, None], (m, b, log_init.shape[-1]))
@@ -975,6 +975,10 @@ def _loglik_chunked_primal(init, A, E, P):
 
     v, _ = lax.scan(fold, v0, C)
     return jax.nn.logsumexp(v, axis=-1)
+
+
+def _loglik_chunked_primal(init, A, E, P):
+    return _loglik_from_C(init, _chunk_summaries_dispatch(A, E, P))
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -999,17 +1003,26 @@ def _loglik_chunked_fast(init, A, E, P):
     return _loglik_chunked_primal(init, A, E, P)
 
 
+# Save the chunk operators as VJP residuals when small (~1 MB at the
+# flagship shape; ~1 GB at profile shapes, where the chunked path is not
+# used anyway) — the backward then skips the whole summary pass.
+_LOGLIK_RESIDUAL_C_MAX_BYTES = 32 * 1024 * 1024
+
+
+def _save_C(E, P):
+    m, b, L, q = E.shape
+    return P * m * b * q * q * 4 <= _LOGLIK_RESIDUAL_C_MAX_BYTES
+
+
 def _loglik_fast_fwd(init, A, E, P):
-    return _loglik_chunked_primal(init, A, E, P), (init, A, E)
-
-
-def _loglik_fast_bwd(P, res, ct):
-    init, A, E = res
-    # One summary pass serves both directions.
     C = _chunk_summaries_dispatch(A, E, P)
-    T, S, ll = _boundary_values(init, C)
-    la = _forward_outputs(init, A, E, T, P)
-    lb = _backward_outputs(A, E, S, P)
+    ll = _loglik_from_C(init, C)
+    return ll, (init, A, E, C if _save_C(E, P) else None)
+
+
+def _loglik_bw_stats(init, A, E, la, lb, ll, ct):
+    """Baum-Welch gradient statistics shared by the chunked and sequential
+    analytic log-likelihood VJPs."""
     log_E = jnp.log(_clamped(E))
 
     lgam = la + lb - ll[..., None, None]
@@ -1035,7 +1048,63 @@ def _loglik_fast_bwd(P, res, ct):
     return ginit, gA, gE
 
 
+def _loglik_fast_bwd(P, res, ct):
+    init, A, E, C = res
+    if C is None:
+        # One summary pass serves both directions.
+        C = _chunk_summaries_dispatch(A, E, P)
+    T, S, ll = _boundary_values(init, C)
+    la = _forward_outputs(init, A, E, T, P)
+    lb = _backward_outputs(A, E, S, P)
+    return _loglik_bw_stats(init, A, E, la, lb, ll, ct)
+
+
 _loglik_chunked_fast.defvjp(_loglik_fast_fwd, _loglik_fast_bwd)
+
+
+@jax.custom_vjp
+def _loglik_seq_fast(init, A, E):
+    """Sequential log-likelihood with an analytic Baum-Welch VJP.
+
+    The profile-HMM training regime (large q, multi-model) runs
+    ``parallel_factor=1`` (sequential scans beat the O(q³)-per-position
+    chunk operators there, BASELINE.md round-2 table); its gradient through
+    taped autodiff costs ~3x the forward pass AND tapes O(L·b·q) alphas.
+    The analytic VJP needs one forward + one backward pass plus the shared
+    Baum-Welch statistics (:func:`_loglik_bw_stats`).
+    """
+    return _loglik_seq_primal(init, A, E)
+
+
+def _loglik_seq_primal(init, A, E):
+    Et = jnp.moveaxis(E, 2, 0)
+    s0 = _clamped(Et[0]) * _clamped(init)[:, None, :]
+    z0 = jnp.sum(s0, axis=-1, keepdims=True)
+    carry0 = (s0 / z0, jnp.log(z0[..., 0]))
+
+    def step(carry, e_t):
+        alpha, ll = carry
+        r = jnp.einsum("mbq,mqp->mbp", alpha, A, precision=_PRECISION)
+        s = _clamped(e_t) * _clamped(r)
+        z = jnp.sum(s, axis=-1, keepdims=True)
+        return (s / z, ll + jnp.log(z[..., 0])), None
+
+    (alpha, ll), _ = lax.scan(step, carry0, Et[1:])
+    return ll
+
+
+def _loglik_seq_fwd(init, A, E):
+    return _loglik_seq_primal(init, A, E), (init, A, E)
+
+
+def _loglik_seq_bwd(res, ct):
+    init, A, E = res
+    la, ll = _forward_seq(init, A, E)
+    lb = _backward_seq(A, E)
+    return _loglik_bw_stats(init, A, E, la, lb, ll, ct)
+
+
+_loglik_seq_fast.defvjp(_loglik_seq_fwd, _loglik_seq_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -1419,32 +1488,24 @@ def backward(init, A, E, parallel_factor: int = 1) -> jax.Array:
     return _backward_chunked_fast(init, A, E, parallel_factor)
 
 
-def log_likelihood(init, A, E, parallel_factor: int = 1) -> jax.Array:
+def log_likelihood(
+    init, A, E, parallel_factor: int = 1, analytic_vjp: bool = True
+) -> jax.Array:
     """Per-sequence log-likelihood ``log P(x_{1..L})``, shape (m, b).
 
     The training-loss path (``MsaHmmLayer.forward`` → loglik,
-    ``MsaHMMLayer.py:180-208``). With ``parallel_factor > 1`` only the
-    summary pass and a prefix fold run — no per-position outputs are
-    materialized — and reverse-mode gradients use an analytic Baum-Welch
-    VJP (see :func:`_loglik_chunked_fast`); forward-mode differentiation
-    (``jax.jvp``/``jacfwd``) requires ``parallel_factor=1``.
+    ``MsaHMMLayer.py:180-208``). Reverse-mode gradients use analytic
+    Baum-Welch VJPs at EVERY ``parallel_factor`` (chunked:
+    :func:`_loglik_chunked_fast`, summary pass + prefix fold only;
+    sequential: :func:`_loglik_seq_fast`, one fwd + one bwd pass instead
+    of taped autodiff). Forward-mode differentiation (``jax.jvp`` /
+    ``jacfwd``) requires ``parallel_factor=1`` AND ``analytic_vjp=False``
+    (custom_vjp functions are reverse-mode only).
     """
     if parallel_factor == 1:
-        m, b, L, q = E.shape
-        Et = jnp.moveaxis(E, 2, 0)
-        s0 = _clamped(Et[0]) * _clamped(init)[:, None, :]
-        z0 = jnp.sum(s0, axis=-1, keepdims=True)
-        carry0 = (s0 / z0, jnp.log(z0[..., 0]))
-
-        def step(carry, e_t):
-            alpha, ll = carry
-            r = jnp.einsum("mbq,mqp->mbp", alpha, A, precision=_PRECISION)
-            s = _clamped(e_t) * _clamped(r)
-            z = jnp.sum(s, axis=-1, keepdims=True)
-            return (s / z, ll + jnp.log(z[..., 0])), None
-
-        (alpha, ll), _ = lax.scan(step, carry0, Et[1:])
-        return ll
+        if analytic_vjp:
+            return _loglik_seq_fast(init, A, E)
+        return _loglik_seq_primal(init, A, E)
     return _loglik_chunked_fast(init, A, E, parallel_factor)
 
 

@@ -63,10 +63,14 @@ class TestForwardModeContract:
             jax.jvp(loss, (E,), (jnp.ones_like(E),))
 
     def test_parallel_factor_one_supports_jvp(self):
+        # pf=1 defaults to the analytic (reverse-mode-only) VJP too;
+        # forward mode is the documented analytic_vjp=False escape hatch.
         init, A, E = _toy(L=8)
 
         def loss(e):
-            return jnp.sum(recursion.log_likelihood(init, A, e, 1))
+            return jnp.sum(
+                recursion.log_likelihood(init, A, e, 1, analytic_vjp=False)
+            )
 
         _, tangent = jax.jvp(loss, (E,), (jnp.ones_like(E),))
         assert np.isfinite(np.asarray(tangent))
@@ -128,33 +132,3 @@ class TestRecommendedParallelFactor:
         assert layer._pf(x) == 1 or 300 % layer._pf(x) == 0
 
 
-class TestForwardModeError:
-    def test_jvp_on_chunked_path_raises_comprehensibly(self):
-        # Chunked paths are reverse-mode only (custom_vjp); the error a jvp
-        # user sees must name the restriction so they can switch to
-        # parallel_factor=1 (documented contract, ops/recursion.py).
-        import jax
-        import jax.numpy as jnp
-        import numpy as np
-        import pytest
-        from hmm_layer_tpu.ops import recursion
-
-        rng = np.random.default_rng(0)
-        q = 4
-        init = jnp.asarray(rng.dirichlet(np.ones(q), size=1).astype(np.float32))
-        A = jnp.asarray(rng.dirichlet(np.ones(q), size=(1, q)).astype(np.float32))
-        E = jnp.asarray(rng.uniform(0.1, 1.0, size=(1, 2, 8, q)).astype(np.float32))
-
-        with pytest.raises(TypeError, match="(?i)forward-mode.*custom_vjp"):
-            jax.jvp(
-                lambda e: recursion.log_likelihood(init, A, e, 4),
-                (E,),
-                (jnp.ones_like(E),),
-            )
-        # parallel_factor=1 supports forward mode.
-        _, tang = jax.jvp(
-            lambda e: recursion.log_likelihood(init, A, e, 1),
-            (E,),
-            (jnp.ones_like(E),),
-        )
-        assert np.isfinite(np.asarray(tang)).all()

@@ -267,3 +267,39 @@ class TestGenePredLayerIntegration:
         ll = layer.log_likelihood(params, x)
         assert ll.shape == (1, 2)
         assert np.all(np.isfinite(np.asarray(ll)))
+
+
+class TestKmerBf16:
+    def _emitter(self, **kw):
+        from hmm_layer_tpu.models import GenePredEmissions
+
+        return GenePredEmissions(
+            start_codons=[("ATG", 1.0)],
+            stop_codons=[("TAG", 0.34), ("TAA", 0.33), ("TGA", 0.33)],
+            intron_begin_pattern=[("NGT", 0.99), ("NAT", 0.01)],
+            intron_end_pattern=[("AGN", 0.99), ("ACN", 0.01)],
+            **kw,
+        )
+
+    def test_bf16_kmers_exact_for_one_hot(self):
+        # One-hot ACGTN 3-mer entries are powers of two — exactly
+        # representable in bf16, so the default bf16 fast path must agree
+        # with f32 to float rounding.
+        import jax
+        import jax.numpy as jnp
+
+        em16 = self._emitter(compute_kmers_in_bf16=True)
+        em32 = self._emitter(compute_kmers_in_bf16=False)
+        params = em16.init_params(jax.random.PRNGKey(0), 15)
+        rng = np.random.default_rng(0)
+        cls = jnp.asarray(
+            rng.dirichlet(np.ones(15), size=(1, 2, 30)).astype(np.float32)
+        )
+        nucs = jax.nn.one_hot(
+            jnp.asarray(rng.integers(0, 5, size=(1, 2, 30))), 5,
+            dtype=jnp.float32,
+        )  # includes N columns
+        x = jnp.concatenate([cls, nucs], axis=-1)
+        E16 = np.asarray(em16.emissions(params, x))
+        E32 = np.asarray(em32.emissions(params, x))
+        np.testing.assert_allclose(E16, E32, rtol=1e-6, atol=1e-9)

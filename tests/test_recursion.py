@@ -814,3 +814,34 @@ class TestMxuSummaryKernel:
         np.testing.assert_allclose(
             np.asarray(ll), np.asarray(ll_ref), rtol=2e-4
         )
+
+
+class TestSequentialAnalyticVJP:
+    def test_matches_autodiff(self):
+        # The sequential loglik's analytic Baum-Welch VJP vs taped autodiff
+        # of the plain scan, incl. structural-zero transitions.
+        init, A, E = random_hmm(RNG, q=7, L=40, b=3)
+        A = A.copy()
+        A[1, 5] = 0.0
+        A = A / A.sum(-1, keepdims=True)
+        ini, Aj, Ej = map(jnp.asarray, _stack(init, A, E))
+        ct = jnp.asarray(
+            np.random.default_rng(2).normal(size=(1, 3)).astype(np.float32)
+        )
+
+        def f(analytic):
+            def inner(i, a, e):
+                return jnp.sum(
+                    recursion.log_likelihood(i, a, e, 1, analytic_vjp=analytic)
+                    * ct
+                )
+
+            return jax.grad(inner, argnums=(0, 1, 2))(ini, Aj, Ej)
+
+        g_ref = f(False)
+        g = f(True)
+        for a, r in zip(g, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(r), rtol=2e-3, atol=2e-4
+            )
+        assert np.asarray(g[1])[0, 1, 5] != 0.0
