@@ -1295,11 +1295,26 @@ def _viterbi_boundaries(log_v, C_T):
     ``log_v``: the start vector, shape (m, q) or (m, b, q) — sharded callers
     pass the per-sequence boundary value entering their block.
 
+    A sequential VECTOR fold for P <= 64 (O(P·q²), same economics as the
+    sum-product :func:`_boundary_values`: the log-depth matrix scan costs
+    O(P log P · q³) for tiny operands); associative scan above.
+
     Returns ``T`` of shape (P, m, b, q): ``T[p](j)`` is the best path score
     over positions up to the end of chunk ``p`` ending in state ``j``.
     """
+    P, m, b, q = C_T.shape[:4]
     if log_v.ndim == 2:
         log_v = log_v[:, None]  # (m, 1, q) — broadcast over batch
+    if P <= 64:
+        v0 = jnp.broadcast_to(log_v, (m, b, q))
+
+        def fold(v, C_T_p):
+            # v_new[j] = max_i v[i] + C_p[i, j] = max_i C_T_p[j, i] + v[i].
+            v_new = jnp.max(C_T_p + v[..., None, :], axis=-1)
+            return v_new, v_new
+
+        _, T = lax.scan(fold, v0, C_T)
+        return T
     # prefix_T[p] = (C_0 ∘ … ∘ C_p)^T = C_p^T ∘ … ∘ C_0^T.
     prefix_T = lax.associative_scan(lambda x, y: maxmatmul(y, x), C_T, axis=0)
     return jnp.max(prefix_T + log_v[None, :, :, None, :], axis=-1)
@@ -1543,6 +1558,12 @@ def viterbi(init, A, E, parallel_factor: int = 1) -> jax.Array:
     engine — chunk-level backtrace over transfer operators, then per-chunk
     conditional delta passes and within-chunk backtraces — with
     O(L/P + log P) sequential depth and a valid-optimal-path guarantee.
+
+    Engine parity: every engine returns ONE VALID optimal path. When
+    distinct paths tie within f32 rounding (inevitable at |score| ~ L for
+    dense emissions — observed on ~0.2% of positions at L=10k), engines may
+    break the tie differently; the returned paths' true scores agree to
+    ~1e-7 relative.
 
     At 16 < q <= 64 on TPU, BOTH settings route to the sequential Pallas
     delta/backtrace kernels (:func:`_viterbi_seq_pallas`): the tropical
