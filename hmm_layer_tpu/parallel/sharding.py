@@ -67,8 +67,12 @@ __all__ = [
 
 
 def _plogsumexp(x, axis_name):
-    """Elementwise log-sum-exp reduction across a mesh axis."""
-    m = lax.pmax(x, axis_name)
+    """Elementwise log-sum-exp reduction across a mesh axis.
+
+    The max shift is wrapped in stop_gradient (exact for any constant
+    shift) so the reduction stays differentiable — ``lax.pmax`` has no
+    differentiation rule."""
+    m = lax.stop_gradient(lax.pmax(x, axis_name))
     safe = jnp.where(jnp.isfinite(m), m, 0.0)
     return jnp.log(lax.psum(jnp.exp(x - safe), axis_name)) + safe
 
@@ -465,8 +469,15 @@ def state_sharded_posterior(
             s_l = _clamped(
                 lax.dynamic_slice_in_dim(s_full, idx * q_l, q_l, axis=-1)
             )
-            z = lax.pmax(
-                jnp.max(s_l, axis=-1, keepdims=True), state_axis
+            # The rescale factor cancels identically in the emitted
+            # log-beta (log(s/z) + (ll + log z)), so it carries ZERO true
+            # gradient. lax.pmax has no differentiation rule (it errors
+            # even under stop_gradient), so the cross-device max runs as
+            # all_gather + max — differentiable, wrapped in stop_gradient
+            # to skip the dead backward terms.
+            z_loc = jnp.max(s_l, axis=-1, keepdims=True)
+            z = lax.stop_gradient(
+                jnp.max(lax.all_gather(z_loc, state_axis), axis=0)
             )
             beta_new, bll_new = s_l / z, bll + jnp.log(z[..., 0])
             return (beta_new, bll_new), jnp.log(beta_new) + bll_new[..., None]
