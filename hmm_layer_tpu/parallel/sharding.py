@@ -649,16 +649,7 @@ def _seq_ll_primal(init, A, E, mesh, seq_axis, data_axis, P_local):
         m, b, L_l, q = E_l.shape
         idx = lax.axis_index(seq_axis)
 
-        # Local block summary, conditioned like the chunked engine: only the
-        # globally-first block starts from identity; all others condition on
-        # the last state of the previous device's block (A-rows start).
-        C, _ = _chunk_summaries(
-            A_l, E_l, P_local, first_chunk_identity=(idx == 0)
-        )
-        # Fold local chunk operators into one block operator.
-        block = C[0]
-        for p in range(1, P_local):
-            block = logmatmul(block, C[p])
+        _, block = _local_block_operator(A_l, E_l, P_local, idx, seq_axis)
 
         # Exchange block summaries (q x q, tiny) and fold left-to-right.
         blocks = lax.all_gather(block, seq_axis)  # (n_seq, m, b, q, q)
@@ -754,6 +745,17 @@ def _seq_ll_bwd(mesh, seq_axis, data_axis, P_local, res, ct):
 _seq_ll.defvjp(_seq_ll_fwd, _seq_ll_bwd)
 
 
+
+def _local_block_operator(A_l, E_l, P_local, idx, seq_axis):
+    """This device's sequence block reduced to ONE q x q log-space transfer
+    operator (chunk summaries folded), conditioned like the chunked engine:
+    only the globally-first block starts from identity."""
+    C, _ = _chunk_summaries(A_l, E_l, P_local, first_chunk_identity=(idx == 0))
+    block = C[0]
+    for p in range(1, P_local):
+        block = logmatmul(block, C[p])
+    return C, block
+
 def _seq_local_forward_backward(init_l, A_l, E_l, idx, n_seq, P_local, seq_axis):
     """Device-local log-forward/backward variables from boundary exchange.
 
@@ -767,10 +769,7 @@ def _seq_local_forward_backward(init_l, A_l, E_l, idx, n_seq, P_local, seq_axis)
     log_init_b = jnp.broadcast_to(
         jnp.log(_clamped(init_l))[:, None, :], (m, b, q)
     )
-    C, _ = _chunk_summaries(A_l, E_l, P_local, first_chunk_identity=(idx == 0))
-    block = C[0]
-    for p in range(1, P_local):
-        block = logmatmul(block, C[p])
+    C, block = _local_block_operator(A_l, E_l, P_local, idx, seq_axis)
     blocks = lax.all_gather(block, seq_axis)  # (n, m, b, q, q)
     v_ends, w_ends, ll = _device_boundary_values(blocks, log_init_b, n_seq)
 
