@@ -159,11 +159,23 @@ class Trainer:
         batches: Iterable,
         steps: int | None = None,
         log_every: int = 10,
+        hang_timeout_s: float | None = None,
     ):
         """Run training over an iterable of (m, b, L, s) batches (or
-        (batch, indices) pairs when sequence weights are used)."""
+        (batch, indices) pairs when sequence weights are used).
+
+        ``hang_timeout_s`` arms a :class:`utils.resilience.HangWatchdog`
+        around each host sync: a wedged device step dumps thread stacks and
+        raises RuntimeError so an outer supervisor can restart from the
+        latest checkpoint (``utils.resilience.latest_checkpoint``).
+        """
+        from .utils.resilience import HangWatchdog
+
         if self._train_step is None:
             self._train_step = self._build_step()
+        watchdog = (
+            HangWatchdog(hang_timeout_s) if hang_timeout_s else None
+        )
         meter = Throughput()
         loss = None
         for step_idx, batch in enumerate(batches):
@@ -178,7 +190,17 @@ class Trainer:
             )
             meter.update(batch.shape[0] * batch.shape[1])
             if step_idx % log_every == 0:
-                loss_val = float(np.asarray(loss))  # host sync
+                if watchdog is not None:
+                    with watchdog:
+                        loss_val = float(np.asarray(loss))  # host sync
+                    if watchdog.fired:
+                        raise RuntimeError(
+                            f"training step {step_idx} exceeded "
+                            f"{hang_timeout_s}s (stacks dumped); restart "
+                            "from the latest checkpoint"
+                        )
+                else:
+                    loss_val = float(np.asarray(loss))  # host sync
                 self.metrics.log(
                     step_idx,
                     loss=loss_val,
