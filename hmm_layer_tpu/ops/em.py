@@ -32,7 +32,12 @@ from .recursion import (
     _PRECISION,
 )
 
-__all__ = ["expected_statistics", "em_step"]
+__all__ = [
+    "expected_statistics",
+    "em_step",
+    "categorical_emission_m_step",
+    "em_step_categorical",
+]
 
 
 def expected_statistics(init, A, E, parallel_factor: int = 1):
@@ -71,6 +76,19 @@ def expected_statistics(init, A, E, parallel_factor: int = 1):
     return gamma, xi_sum, ll
 
 
+def _m_step_init(gamma, init, pseudocount):
+    counts = jnp.sum(gamma[:, :, 0], axis=1) + pseudocount
+    counts = counts * (init > 0)
+    return counts / jnp.maximum(jnp.sum(counts, axis=-1, keepdims=True), EPS)
+
+
+def _m_step_A(xi_sum, A, pseudocount):
+    structure = (A > 0).astype(A.dtype)
+    counts = (xi_sum + pseudocount) * structure
+    row = jnp.sum(counts, axis=-1, keepdims=True)
+    return jnp.where(row > 0, counts / jnp.maximum(row, EPS), A)
+
+
 def em_step(init, A, E, parallel_factor: int = 1, pseudocount: float = 0.0):
     """One Baum-Welch update of the initial distribution and transitions.
 
@@ -84,15 +102,51 @@ def em_step(init, A, E, parallel_factor: int = 1, pseudocount: float = 0.0):
         pre-update likelihood (monotonically non-decreasing across steps).
     """
     gamma, xi_sum, ll = expected_statistics(init, A, E, parallel_factor)
-    structure = (A > 0).astype(A.dtype)
-
-    counts_init = jnp.sum(gamma[:, :, 0], axis=1) + pseudocount
-    counts_init = counts_init * (init > 0)
-    new_init = counts_init / jnp.maximum(
-        jnp.sum(counts_init, axis=-1, keepdims=True), EPS
+    return (
+        _m_step_init(gamma, init, pseudocount),
+        _m_step_A(xi_sum, A, pseudocount),
+        ll,
     )
 
-    counts_A = (xi_sum + pseudocount) * structure
-    row = jnp.sum(counts_A, axis=-1, keepdims=True)
-    new_A = jnp.where(row > 0, counts_A / jnp.maximum(row, EPS), A)
-    return new_init, new_A, ll
+
+def categorical_emission_m_step(gamma, x, pseudocount: float = 0.0):
+    """M-step for free categorical emission tables.
+
+    ``new_B(j, s) ∝ sum_{b,t} gamma_t(j) * x_t(s)`` — the classical
+    Baum-Welch emission update for lookup-table HMMs.
+
+    Args:
+        gamma: (m, b, L, q) posterior state probabilities.
+        x: (m, b, L, s) one-hot (or soft) observed symbols.
+
+    Returns:
+        new_B: (m, q, s) row-stochastic emission table.
+    """
+    counts = (
+        jnp.einsum("mblq,mbls->mqs", gamma, x, precision=_PRECISION)
+        + pseudocount
+    )
+    return counts / jnp.maximum(jnp.sum(counts, axis=-1, keepdims=True), EPS)
+
+
+def em_step_categorical(
+    init, A, B, x, parallel_factor: int = 1, pseudocount: float = 0.0
+):
+    """One FULL classical Baum-Welch step for a lookup-table HMM.
+
+    The observation model is ``E_t = x_t @ B^T`` (categorical symbols, B a
+    free (m, q, s) row-stochastic table); updates init, A AND B from one
+    E-step — the textbook algorithm the reference leaves entirely to
+    gradient descent.
+
+    Returns:
+        (new_init, new_A, new_B, loglik) — loglik is pre-update.
+    """
+    E = jnp.einsum("mbls,mqs->mblq", x, B, precision=_PRECISION)
+    gamma, xi_sum, ll = expected_statistics(init, A, E, parallel_factor)
+    return (
+        _m_step_init(gamma, init, pseudocount),
+        _m_step_A(xi_sum, A, pseudocount),
+        categorical_emission_m_step(gamma, x, pseudocount),
+        ll,
+    )

@@ -845,3 +845,47 @@ class TestSequentialAnalyticVJP:
                 np.asarray(a), np.asarray(r), rtol=2e-3, atol=2e-4
             )
         assert np.asarray(g[1])[0, 1, 5] != 0.0
+
+
+class TestCategoricalEM:
+    def test_full_baum_welch_monotone_and_recovers(self):
+        # Full classical EM (init + A + B) on symbols drawn from a known
+        # 3-state HMM: likelihood must be monotonically non-decreasing and
+        # the learned model must beat the random starting point by a wide
+        # margin.
+        from hmm_layer_tpu.ops import em
+
+        rng = np.random.default_rng(0)
+        q, s, b, L = 3, 5, 24, 60
+        A_true = rng.dirichlet(np.ones(q) * 0.3, size=q)
+        B_true = rng.dirichlet(np.ones(s) * 0.3, size=q)
+        init_true = rng.dirichlet(np.ones(q))
+        states = np.zeros((b, L), int)
+        obs = np.zeros((b, L), int)
+        for i in range(b):
+            st = rng.choice(q, p=init_true)
+            for t in range(L):
+                obs[i, t] = rng.choice(s, p=B_true[st])
+                states[i, t] = st
+                st = rng.choice(q, p=A_true[st])
+        x = jnp.asarray(np.eye(s, dtype=np.float32)[obs])[None]
+
+        init = jnp.asarray(rng.dirichlet(np.ones(q)).astype(np.float32))[None]
+        A = jnp.asarray(rng.dirichlet(np.ones(q), size=q).astype(np.float32))[None]
+        B = jnp.asarray(rng.dirichlet(np.ones(s), size=q).astype(np.float32))[None]
+
+        step = jax.jit(
+            lambda i, a, bb: em.em_step_categorical(
+                i, a, bb, x, parallel_factor=4, pseudocount=1e-3
+            )
+        )
+        lls = []
+        for _ in range(25):
+            init, A, B, ll = step(init, A, B)
+            lls.append(float(np.asarray(ll).sum()))
+        diffs = np.diff(lls)
+        assert (diffs > -1e-2).all(), diffs.min()  # monotone (fp tolerance)
+        assert lls[-1] - lls[0] > 50.0  # learned something substantial
+        # Rows remain stochastic.
+        np.testing.assert_allclose(np.asarray(B).sum(-1), 1.0, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(A).sum(-1), 1.0, rtol=1e-5)
