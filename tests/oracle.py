@@ -66,6 +66,8 @@ def viterbi_np(init, A, E):
 def brute_force_loglik(init, A, E):
     """Exhaustive sum over all state paths (tiny L, q only)."""
     L, q = E.shape
+    if q**L > 2_000_000:  # ~seconds; beyond this use forward_np instead
+        raise ValueError(f"q**L = {q}**{L} paths is infeasible to enumerate")
     total = 0.0
     for path in itertools.product(range(q), repeat=L):
         p = init[path[0]] * E[0, path[0]]
@@ -77,6 +79,8 @@ def brute_force_loglik(init, A, E):
 
 def brute_force_viterbi(init, A, E):
     L, q = E.shape
+    if q**L > 2_000_000:
+        raise ValueError(f"q**L = {q}**{L} paths is infeasible to enumerate")
     best, best_path = -np.inf, None
     for path in itertools.product(range(q), repeat=L):
         p = np.log(init[path[0]]) + np.log(E[0, path[0]])

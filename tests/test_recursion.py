@@ -889,3 +889,54 @@ class TestCategoricalEM:
         # Rows remain stochastic.
         np.testing.assert_allclose(np.asarray(B).sum(-1), 1.0, rtol=1e-5)
         np.testing.assert_allclose(np.asarray(A).sum(-1), 1.0, rtol=1e-5)
+
+
+class TestEngineFuzz:
+    """Randomized cross-engine sweep: sequential vs chunked XLA
+    loglik/posterior/viterbi over assorted shapes, plus the f64 oracle on
+    the smallest. Shapes chosen small for CI but covering odd q, odd chunk
+    counts, multi-model, and sparse grammars."""
+
+    CASES = [
+        dict(q=2, L=30, b=1, P=5, m=1),
+        dict(q=9, L=36, b=2, P=6, m=2),
+        dict(q=16, L=24, b=4, P=3, m=3),
+    ]
+
+    @pytest.mark.parametrize("case", CASES)
+    def test_cross_engine(self, case):
+        # XLA engines only — the Pallas interpret-mode parity has its own
+        # dedicated tests and is ~10x slower per case on the CI host.
+        q, L, b, P, m = (case[k] for k in ("q", "L", "b", "P", "m"))
+        rng = np.random.default_rng(q * 1000 + L)
+        init = rng.dirichlet(np.ones(q), size=m).astype(np.float32)
+        A = rng.dirichlet(np.ones(q) * 0.5, size=(m, q)).astype(np.float32)
+        if q >= 7:  # sprinkle structural zeros
+            A[:, 0, q - 1] = 0.0
+            A = A / A.sum(-1, keepdims=True)
+        E = rng.dirichlet(np.ones(q) * 0.4, size=(m, b, L)).astype(np.float32)
+        ini, Aj, Ej = map(jnp.asarray, (init, A, E))
+
+        ll1 = recursion.log_likelihood(ini, Aj, Ej, 1)
+        llP = recursion.log_likelihood(ini, Aj, Ej, P)
+        np.testing.assert_allclose(
+            np.asarray(llP), np.asarray(ll1), rtol=3e-4
+        )
+        lg1, _ = recursion.posterior(ini, Aj, Ej, 1)
+        lgP, llp = recursion.posterior(ini, Aj, Ej, P)
+        np.testing.assert_allclose(np.asarray(llp), np.asarray(ll1), rtol=3e-4)
+        np.testing.assert_allclose(
+            np.asarray(lgP), np.asarray(lg1), rtol=2e-3, atol=3e-3
+        )
+        p1 = recursion.viterbi(ini, Aj, Ej, 1)
+        pP = recursion.viterbi(ini, Aj, Ej, P)
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(pP))
+        # f64 DP oracle on model 0 / sequence 0. (NOT brute_force_loglik:
+        # exhaustive enumeration is q^L paths — at q=2, L=30 that is 2^30,
+        # effectively an infinite loop.)
+        _, ll_np = forward_np(
+            init[0].astype(np.float64),
+            A[0].astype(np.float64),
+            E[0, 0].astype(np.float64),
+        )
+        np.testing.assert_allclose(float(ll1[0, 0]), ll_np, rtol=1e-4)
