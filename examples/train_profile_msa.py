@@ -108,29 +108,19 @@ def main():
         print(f"checkpoint resume ok: step {step} from {path}")
         del restored
 
-    # Decode held-out sequences with the selected single-model layer.
+    # Decode held-out sequences with the selected single-model layer and
+    # render the gapped alignment (match columns uppercase, deletions '-',
+    # insertions lowercase padded with '.').
+    from hmm_layer_tpu.models import paths_to_msa
+
     sel_layer, sel_params = result.layer, result.selected_params
     x_test = batch_onehot(4)[best : best + 1]
     paths = np.asarray(sel_layer.viterbi(sel_params, x_test))[0]
-    Lm = lengths[best]
-
-    def label(state):
-        # Implicit state order (models/profile_transitions.py): LEFT_FLANK,
-        # MATCH x Lm, INSERT x Lm-1, UNANNOTATED, RIGHT_FLANK, TERMINAL.
-        if state == 0:
-            return "F<"
-        if 1 <= state <= Lm:
-            return f"M{state}"
-        if state <= 2 * Lm - 1:
-            return f"I{state - Lm}"
-        return {2 * Lm: "U", 2 * Lm + 1: "F>"}.get(state, "T")
-
-    for i in range(2):
-        print(
-            f"seq {i} alignment: "
-            + " ".join(label(s) for s in paths[i][: Lm + 6])
-            + " ..."
-        )
+    residues = np.argmax(np.asarray(x_test)[0], axis=-1)
+    for i, row in enumerate(
+        paths_to_msa(paths, residues, model_length=lengths[best])
+    ):
+        print(f"seq {i}  {row}")
     print("done.")
 
 

@@ -7,6 +7,7 @@ from .gene_pred_transitions import (
     GenePredTransitions,
     SimpleGenePredTransitions,
 )
+from .msa import AMINO_ALPHABET, paths_to_msa, write_msa
 from .mvn import MvnMixture
 from .priors import AminoAcidPrior, FixedDirichlet, ProfileHMMTransitionPrior
 from .profile_emissions import ProfileEmissions
@@ -17,6 +18,7 @@ from .profile_transitions import (
 )
 
 __all__ = [
+    "AMINO_ALPHABET",
     "AminoAcidPrior",
     "DirichletMixture",
     "FixedDirichlet",
@@ -33,4 +35,6 @@ __all__ = [
     "get_num_states",
     "get_num_states_implicit",
     "load_mixture_model",
+    "paths_to_msa",
+    "write_msa",
 ]

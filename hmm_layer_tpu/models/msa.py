@@ -1,0 +1,130 @@
+"""Gapped-MSA construction from profile-HMM Viterbi paths.
+
+learnMSA's end deliverable is a multiple sequence alignment: each
+sequence's most likely state path through the trained profile HMM is
+mapped to alignment columns (match states = columns, deletions = gaps,
+insert/flank/unannotated emissions = lowercase insertions between
+columns). The reference repo stops short of this — it only *mentions*
+Viterbi as a use case of the exposed matrices (``MsaHmmCell.py:13``; the
+learnMSA submodule carrying the alignment writer is not checked out,
+``.gitmodules:1-3``) — but the capability is required to actually use the
+profile models for alignment, so it ships here as a small NumPy
+post-processing step on the engine's :func:`~hmm_layer_tpu.ops.recursion.
+viterbi` output.
+
+Output format is HMMER/a2m-flavoured: one row per sequence; uppercase
+residues in match columns, ``-`` for deletions, lowercase residues for
+insertions padded column-wise with ``.`` so every row has equal length.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Standard 20 amino acids + rare letters, in learnMSA's input-encoding
+# order (A..Y alphabetical one-letter codes), padded with X for any
+# out-of-range index.
+AMINO_ALPHABET = "ACDEFGHIKLMNPQRSTVWYBZXUO"
+
+__all__ = ["AMINO_ALPHABET", "paths_to_msa", "write_msa"]
+
+
+def paths_to_msa(
+    paths,
+    residues,
+    model_length: int,
+    alphabet: str = AMINO_ALPHABET,
+    seq_lengths=None,
+):
+    """Render Viterbi state paths as a gapped multiple sequence alignment.
+
+    Args:
+      paths: ``(b, L)`` int array of decoded states for ONE profile model
+        (implicit state order ``LEFT_FLANK, MATCH x Lm, INSERT x Lm-1,
+        UNANNOTATED, RIGHT_FLANK, TERMINAL`` —
+        ``models/profile_transitions.py``).
+      residues: ``(b, L)`` int array of residue indices into ``alphabet``
+        (e.g. ``argmax`` of the one-hot model input).
+      model_length: ``Lm``, the number of match states.
+      alphabet: string mapping residue index -> one-letter code.
+      seq_lengths: optional ``(b,)`` true sequence lengths; positions at or
+        beyond a sequence's length are ignored (padding).
+
+    Returns:
+      list of ``b`` equal-length strings. Match columns are uppercase (or
+      ``-`` when the path skips the column via delete states); residues
+      emitted by insert, flank, or unannotated states appear lowercase in
+      inter-column insertion blocks padded with ``.``. A sequence whose
+      path re-enters an earlier match column (multi-hit) has the extra
+      hit's residues rendered as insertions after the last column reached.
+    """
+    paths = np.asarray(paths)
+    residues = np.asarray(residues)
+    if paths.ndim != 2 or paths.shape != residues.shape:
+        raise ValueError(
+            f"paths {paths.shape} and residues {residues.shape} must both "
+            "be (batch, length)"
+        )
+    b, L = paths.shape
+    Lm = int(model_length)
+    terminal = 2 * Lm + 2
+    lengths = (
+        np.full(b, L) if seq_lengths is None else np.asarray(seq_lengths)
+    )
+
+    def letter(idx):
+        return alphabet[idx] if 0 <= idx < len(alphabet) else "X"
+
+    # Per sequence: match[j] (1-based) and insertion buckets inserts[j]
+    # holding residues emitted between column j and j+1 (j=0: before the
+    # first column; j=Lm: after the last).
+    match_rows = []
+    insert_rows = []
+    for i in range(b):
+        match = ["-"] * (Lm + 1)  # index 1..Lm used
+        inserts = [""] * (Lm + 1)
+        last = 0  # last match column reached (insertion anchor)
+        for t in range(min(L, lengths[i])):
+            s = int(paths[i, t])
+            if s == terminal:
+                break
+            c = letter(int(residues[i, t]))
+            if 1 <= s <= Lm and s > last:
+                match[s] = c.upper()
+                last = s
+            elif Lm + 1 <= s <= 2 * Lm - 1:  # INSERT k sits after column k
+                inserts[s - Lm] += c.lower()
+            elif s == 2 * Lm + 1:  # RIGHT_FLANK
+                inserts[Lm] += c.lower()
+            else:
+                # LEFT_FLANK (0), UNANNOTATED (2Lm), or a multi-hit
+                # re-entry into an earlier match column: anchor after the
+                # last column reached.
+                inserts[last] += c.lower()
+        match_rows.append(match)
+        insert_rows.append(inserts)
+
+    # Column-wise composition with per-block padding to the widest insert.
+    rows = [""] * b
+    for j in range(Lm + 1):
+        width = max(len(insert_rows[i][j]) for i in range(b))
+        for i in range(b):
+            rows[i] += insert_rows[i][j].ljust(width, ".")
+            if j < Lm:
+                rows[i] += match_rows[i][j + 1]
+    return rows
+
+
+def write_msa(path, names, rows, width: int = 80):
+    """Write alignment rows (from :func:`paths_to_msa`) as aligned FASTA.
+
+    Counterpart of :func:`hmm_layer_tpu.data.read_fasta`; one record per
+    sequence, wrapped at ``width`` characters.
+    """
+    if len(names) != len(rows):
+        raise ValueError(f"{len(names)} names for {len(rows)} rows")
+    with open(path, "w") as f:
+        for name, row in zip(names, rows):
+            f.write(f">{name}\n")
+            for k in range(0, len(row), width):
+                f.write(row[k : k + width] + "\n")
