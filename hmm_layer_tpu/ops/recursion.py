@@ -41,6 +41,8 @@ scaled recursion finite, matching ``MsaHmmCell.py:87-88``).
 
 from __future__ import annotations
 
+import os
+
 from typing import NamedTuple
 
 import jax
@@ -56,6 +58,27 @@ from . import pallas_adjoint, pallas_forward, pallas_mxu, pallas_viterbi
 # precision is bfloat16, whose per-step rounding accumulates linearly in L
 # (observed ~0.13 log-space error at L=1200). Force full f32 MXU passes.
 _PRECISION = lax.Precision.HIGHEST
+
+# The Mosaic kernels only lower on TPU backends; dispatch on an explicit
+# allowlist (not a "anything unknown must be TPU" sniff) so a future backend
+# falls back to the always-correct XLA path instead of failing to lower.
+_TPU_BACKENDS = ("tpu", "axon")
+
+# Unroll factor for the sequential (parallel_factor == 1) per-timestep scans.
+# The large-q regime that routes to them (profile-HMM training: m=5, q<=155,
+# L=400) is scan-latency-bound — each step's (m,b,q)@(m,q,q) matmul is ~1 us
+# of MXU work inside ~8 us of loop overhead — so unrolling trades iteration
+# overhead for code size. TPU-only: CPU keeps unroll=1 so the test-suite
+# compile cache stays valid and compile times stay sane. Default 1 (opt-in
+# via HMM_SEQ_UNROLL=4) until measured on hardware — staged while the axon
+# backend is down.
+_SEQ_UNROLL_TPU = int(os.environ.get("HMM_SEQ_UNROLL", "1"))
+
+
+def _seq_unroll() -> int:
+    return (
+        _SEQ_UNROLL_TPU if jax.default_backend() in _TPU_BACKENDS else 1
+    )
 
 __all__ = [
     "forward",
@@ -104,7 +127,9 @@ def _forward_seq(init, A, E):
         out = jnp.log(alpha_new) + ll_new[..., None]
         return (alpha_new, ll_new), out
 
-    (alpha, ll), outs = lax.scan(step, (alpha0, ll0), Et[1:])
+    (alpha, ll), outs = lax.scan(
+        step, (alpha0, ll0), Et[1:], unroll=_seq_unroll()
+    )
     log_alpha0 = jnp.log(alpha0) + ll0[..., None]
     log_alpha = jnp.concatenate([log_alpha0[None], outs], axis=0)
     return jnp.moveaxis(log_alpha, 0, 2), ll
@@ -134,7 +159,10 @@ def _backward_seq(A, E):
 
     # Consume emissions at positions L..2 (time-reversed), producing beta at
     # positions L-1..1.
-    _, outs = lax.scan(step, (beta_last, ll_last), Et[1:], reverse=True)
+    _, outs = lax.scan(
+        step, (beta_last, ll_last), Et[1:], reverse=True,
+        unroll=_seq_unroll(),
+    )
     log_beta_last = jnp.zeros((1, m, b, q), E.dtype)
     log_beta = jnp.concatenate([outs, log_beta_last], axis=0)
     return jnp.moveaxis(log_beta, 0, 2)
@@ -154,14 +182,18 @@ def _viterbi_seq(init, A, E):
         best, arg = maxargmatvec(delta, log_A[:, None, :, :])
         return best + e_t, arg
 
-    delta_final, backptrs = lax.scan(step, delta0, Et[1:])  # bp: (L-1, m, b, q)
+    delta_final, backptrs = lax.scan(
+        step, delta0, Et[1:], unroll=_seq_unroll()
+    )  # bp: (L-1, m, b, q)
     last_state = jnp.argmax(delta_final, axis=-1).astype(jnp.int32)  # (m, b)
 
     def backstep(state, bp_t):
         prev = jnp.take_along_axis(bp_t, state[..., None], axis=-1)[..., 0]
         return prev, prev
 
-    _, path_rev = lax.scan(backstep, last_state, backptrs, reverse=True)
+    _, path_rev = lax.scan(
+        backstep, last_state, backptrs, reverse=True, unroll=_seq_unroll()
+    )
     path = jnp.concatenate([path_rev, last_state[None]], axis=0)  # (L, m, b)
     return jnp.moveaxis(path, 0, 2)
 
@@ -239,7 +271,9 @@ def _summaries_from_rows(A, Et, R0):
         M_new, dll = scale_rows(s)
         return (M_new, ll + dll), None
 
-    (M, ll), _ = lax.scan(step, (M0, ll0), Et[1:])
+    (M, ll), _ = lax.scan(
+        step, (M0, ll0), Et[1:], unroll=_seq_unroll()
+    )
     return jnp.log(M) + ll[..., None]
 
 
@@ -355,7 +389,9 @@ def _forward_outputs(init, A, E, T, parallel_factor, first_start_log=None):
         ll_new = ll + jnp.log(z[..., 0])
         return (alpha_new, ll_new), jnp.log(alpha_new) + ll_new[..., None]
 
-    _, outs = lax.scan(step, (alpha0, llc0), Et[1:])
+    _, outs = lax.scan(
+        step, (alpha0, llc0), Et[1:], unroll=_seq_unroll()
+    )
     first_out = (jnp.log(alpha0) + llc0[..., None])[None]
     log_alpha = jnp.concatenate([first_out, outs], axis=0)  # (c, m, bP, q)
     log_alpha = jnp.moveaxis(log_alpha, 0, 2).reshape(m, b, P, c, q)
@@ -386,7 +422,9 @@ def _backward_outputs(A, E, S, parallel_factor):
 
     # Consume within-chunk emissions at positions c-1..1 (of the chunk),
     # producing beta at positions c-2..0.
-    _, outs = lax.scan(step, (beta0, ll0), Et[1:], reverse=True)
+    _, outs = lax.scan(
+        step, (beta0, ll0), Et[1:], reverse=True, unroll=_seq_unroll()
+    )
     last = (jnp.log(beta0) + ll0[..., None])[None]
     log_beta = jnp.concatenate([outs, last], axis=0)  # (c, m, bP, q)
     log_beta = jnp.moveaxis(log_beta, 0, 2).reshape(m, b, P, c, q)
@@ -398,12 +436,6 @@ def _backward_outputs(A, E, S, parallel_factor):
 # posterior/log-likelihood; gradients are analytic custom_vjp adjoints —
 # see _loglik_chunked_fast / _posterior_chunked_fast below).
 # ---------------------------------------------------------------------------
-
-
-# The Mosaic kernels only lower on TPU backends; dispatch on an explicit
-# allowlist (not a "anything unknown must be TPU" sniff) so a future backend
-# falls back to the always-correct XLA path instead of failing to lower.
-_TPU_BACKENDS = ("tpu", "axon")
 
 
 def _pallas_backend_ok() -> bool:
@@ -720,7 +752,9 @@ def _affine_composites(B, u, v, cvec, P):
         Z = Z.at[..., -1].add(c_t)
         return Z, None
 
-    X, _ = lax.scan(sum_step, X0, (ut, vt, ctt), reverse=True)
+    X, _ = lax.scan(
+        sum_step, X0, (ut, vt, ctt), reverse=True, unroll=_seq_unroll()
+    )
     return jnp.moveaxis(X.reshape(m, b, P, q, q + 1), 2, 0)
 
 
@@ -786,7 +820,9 @@ def _affine_outputs(B, u, v, cvec, P, rights):
         )
         return x_new, x_new
 
-    _, xs = lax.scan(out_step, x_right, (ut, vt, ctt), reverse=True)
+    _, xs = lax.scan(
+        out_step, x_right, (ut, vt, ctt), reverse=True, unroll=_seq_unroll()
+    )
     return jnp.moveaxis(xs, 0, 2).reshape(m, b, L, q)
 
 
@@ -1089,7 +1125,9 @@ def _loglik_seq_primal(init, A, E):
         z = jnp.sum(s, axis=-1, keepdims=True)
         return (s / z, ll + jnp.log(z[..., 0])), None
 
-    (alpha, ll), _ = lax.scan(step, carry0, Et[1:])
+    (alpha, ll), _ = lax.scan(
+        step, carry0, Et[1:], unroll=_seq_unroll()
+    )
     return ll
 
 
@@ -1285,7 +1323,9 @@ def _viterbi_chunk_summaries(
         def sum_step(M_T, e_t):
             return maxmatmul(log_A_T[:, None], M_T) + e_t, None
 
-    M_T, _ = lax.scan(sum_step, M0_T, Et_s[1:])
+    M_T, _ = lax.scan(
+        sum_step, M0_T, Et_s[1:], unroll=_seq_unroll()
+    )
     return jnp.moveaxis(M_T.reshape(m, b, P, q, q), 2, 0)  # (P, m, b, q, q)
 
 
@@ -1417,7 +1457,9 @@ def _viterbi_outputs(first_start_log, log_A, Et, j_end, m, b, L, q, P):
         return new, new
 
     delta0 = r0 + Et[0]
-    _, delta_rest = lax.scan(fwd_step, delta0, Et[1:])
+    _, delta_rest = lax.scan(
+        fwd_step, delta0, Et[1:], unroll=_seq_unroll()
+    )
     delta = jnp.concatenate([delta0[None], delta_rest], axis=0)  # (c, m, bP, q)
 
     # -- within-chunk backtrace ------------------------------------------------
@@ -1427,7 +1469,9 @@ def _viterbi_outputs(first_start_log, log_A, Et, j_end, m, b, L, q, P):
         prev = jnp.argmax(delta_prev + acol, axis=-1).astype(jnp.int32)
         return prev, prev
 
-    _, rest = lax.scan(backstep, last_state, delta[:-1], reverse=True)
+    _, rest = lax.scan(
+        backstep, last_state, delta[:-1], reverse=True, unroll=_seq_unroll()
+    )
     states = jnp.concatenate([rest, last_state[None]], axis=0)  # (c, m, bP)
     states = jnp.moveaxis(states, 0, 2).reshape(m, b, P, L // P)
     return states.reshape(m, b, L)
