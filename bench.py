@@ -34,7 +34,42 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+def backend_alive(timeout_s: float = 600.0) -> bool:
+    """Probe device init in a subprocess so a hung axon tunnel can't hang us.
+
+    The axon backend occasionally goes down in a way where ``jax.devices()``
+    blocks forever (observed 2026-08-17). Device enumeration involves no
+    compilation, so killing the probe is safe; a generous timeout covers a
+    slow-but-alive tunnel.
+    """
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not backend_alive():
+        log("FATAL: device backend unreachable (device init hung/failed)")
+        print(
+            json.dumps(
+                {
+                    "metric": "gene-pred 15-state END-TO-END posterior "
+                    "throughput (BACKEND UNREACHABLE - no measurement)",
+                    "value": None,
+                    "unit": "seqs/sec",
+                    "vs_baseline": None,
+                }
+            )
+        )
+        return
     import jax
     import jax.numpy as jnp
     from jax import lax
