@@ -408,6 +408,56 @@ class TestConfig5Integration:
         paths = sharding.state_sharded_viterbi(init_p, A_p, E_p, mesh)
         np.testing.assert_array_equal(np.asarray(paths), np.asarray(ref_paths))
 
+    def test_500plus_states_state_sharded(self):
+        """BASELINE config 5 literally: a 500+-state multi-copy gene-pred HMM
+        (k=36 -> 1+14k = 505 states), padded to 512 over an 8-way state mesh;
+        loglik + decode must match the dense single-device engine."""
+        from hmm_layer_tpu.layer import HMMLayer
+        from hmm_layer_tpu.models import (
+            GenePredEmissions,
+            GenePredMultiTransitions,
+        )
+
+        k = 36  # 1 + 14k = 505 states
+        layer = HMMLayer(
+            GenePredMultiTransitions(k=k),
+            GenePredEmissions(
+                start_codons=[("ATG", 1.0)],
+                stop_codons=[("TAG", 0.34), ("TAA", 0.33), ("TGA", 0.33)],
+                intron_begin_pattern=[("NGT", 0.99), ("NAT", 0.01)],
+                intron_end_pattern=[("AGN", 0.99), ("ACN", 0.01)],
+                num_copies=k,
+            ),
+            use_prior=False,
+        )
+        params = layer.init_params(jax.random.PRNGKey(1), input_dim=15)
+        rng = np.random.default_rng(11)
+        b, L, q = 2, 9, 1 + 14 * k
+        cls = jnp.asarray(
+            rng.dirichlet(np.ones(15), size=(1, b, L)).astype(np.float32)
+        )
+        nucs = jax.nn.one_hot(
+            jnp.asarray(rng.integers(0, 4, size=(1, b, L))), 5,
+            dtype=jnp.float32,
+        )
+        x = jnp.concatenate([cls, nucs], axis=-1)
+        init, A = layer.transitions.matrices(params["transitions"])
+        E = layer.emission_probs(params, x)
+
+        q_pad = 512
+        init_p = jnp.pad(init, ((0, 0), (0, q_pad - q)))
+        A_p = jnp.pad(A, ((0, 0), (0, q_pad - q), (0, q_pad - q)))
+        E_p = jnp.pad(E, ((0, 0), (0, 0), (0, 0), (0, q_pad - q)))
+        mesh = sharding.make_mesh({"state": 8})
+
+        ll_ref = recursion.log_likelihood(init, A, E)
+        ll = sharding.state_sharded_log_likelihood(init_p, A_p, E_p, mesh)
+        np.testing.assert_allclose(np.asarray(ll), np.asarray(ll_ref), rtol=1e-4)
+
+        ref_paths = recursion.viterbi(init, A, E)
+        paths = sharding.state_sharded_viterbi(init_p, A_p, E_p, mesh)
+        np.testing.assert_array_equal(np.asarray(paths), np.asarray(ref_paths))
+
 
 class TestSeqShardedGradients:
     """Differentiable sequence-sharded paths: analytic shard_map-aware VJPs
