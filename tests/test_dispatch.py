@@ -47,6 +47,45 @@ class TestPallasBackendGate:
         assert recursion._use_pallas(15, 1)
 
 
+class TestSeqUnroll:
+    """The staged HMM_SEQ_UNROLL knob (TPU-only scan unroll for the
+    sequential paths) must be a pure perf knob: results identical to
+    unroll=1, and inert on non-TPU backends."""
+
+    def test_inert_off_tpu(self, monkeypatch):
+        monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+        monkeypatch.setattr(recursion, "_SEQ_UNROLL_TPU", 4)
+        assert recursion._seq_unroll() == 1
+
+    def test_unrolled_results_identical(self, monkeypatch):
+        init, A, E = _toy(q=6, b=3, L=11, m=2, seed=3)  # L % unroll != 0
+        base = {
+            "ll": recursion.log_likelihood(init, A, E, 1),
+            "post": recursion.posterior(init, A, E, 1)[0],
+            "vit": recursion.viterbi(init, A, E, 1),
+            "g": jax.grad(
+                lambda a: jnp.sum(recursion.log_likelihood(init, a, E, 1))
+            )(A),
+        }
+        monkeypatch.setattr(recursion, "_seq_unroll", lambda: 4)
+        np.testing.assert_allclose(
+            recursion.log_likelihood(init, A, E, 1), base["ll"], rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            recursion.posterior(init, A, E, 1)[0], base["post"], rtol=1e-5,
+            atol=1e-6,
+        )
+        np.testing.assert_array_equal(
+            recursion.viterbi(init, A, E, 1), base["vit"]
+        )
+        np.testing.assert_allclose(
+            jax.grad(
+                lambda a: jnp.sum(recursion.log_likelihood(init, a, E, 1))
+            )(A),
+            base["g"], rtol=1e-5, atol=1e-7,
+        )
+
+
 class TestForwardModeContract:
     """Chunked paths are reverse-mode only (custom_vjp); the error a jvp
     user sees must name the actual conflict, not fail obscurely."""
