@@ -1151,8 +1151,11 @@ _loglik_seq_fast.defvjp(_loglik_seq_fwd, _loglik_seq_bwd)
 
 # Sentinel for impossible paths in the tropical semiring. Unlike LOG_ZERO
 # (soft, gradient-friendly) this must never win an argmax against any real
-# path score, including paths of clamped-EPS steps over long chunks.
-_NEG = jnp.float32(-1e30)
+# path score, including paths of clamped-EPS steps over long chunks. A plain
+# Python float, NOT a jnp constant: materializing a device array at module
+# scope would initialize the backend on import (and hang imports entirely
+# when the device transport is unreachable).
+_NEG = -1e30
 
 
 def _viterbi_seq_pallas(init, A, E):

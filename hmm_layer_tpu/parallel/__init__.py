@@ -11,6 +11,7 @@ from .sharding import (
     shard_batch,
     state_sharded_log_likelihood,
     state_sharded_posterior,
+    state_sharded_viterbi,
 )
 
 __all__ = [
@@ -21,6 +22,7 @@ __all__ = [
     "data_parallel_fn",
     "state_sharded_log_likelihood",
     "state_sharded_posterior",
+    "state_sharded_viterbi",
     "seq_sharded_log_likelihood",
     "seq_sharded_posterior",
     "seq_sharded_viterbi",

@@ -1,5 +1,6 @@
 """Dispatch-policy tests: Pallas backend gating and AD-mode contracts."""
 
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -171,3 +172,31 @@ class TestRecommendedParallelFactor:
         assert layer._pf(x) == 1 or 300 % layer._pf(x) == 0
 
 
+
+
+class TestImportIsBackendFree:
+    def test_import_does_not_initialize_backend(self):
+        """Importing the package must not create device arrays: module-scope
+        jnp constants would initialize the JAX backend at import time and
+        hang the import entirely when the device transport is unreachable
+        (regression: ops/recursion.py once held ``_NEG = jnp.float32(...)``).
+        """
+        import subprocess
+        import sys
+
+        code = (
+            "import hmm_layer_tpu\n"
+            "from jax._src import xla_bridge\n"
+            "assert not xla_bridge._backends, list(xla_bridge._backends)\n"
+        )
+        env = dict(os.environ)
+        # Run without the conftest's platform forcing; any platform config
+        # is fine because the assertion is that NO backend gets touched.
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=300,
+            env=env,
+        )
+        assert proc.returncode == 0, proc.stderr
