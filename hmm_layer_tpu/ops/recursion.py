@@ -998,19 +998,25 @@ def _chunk_summaries_dispatch(A, E, P):
     return _chunk_summaries(A, E, P)[0]
 
 
-def _loglik_from_C(init, C):
-    """Prefix-only fold of chunk operators — no suffix products (the fused
-    prefix+suffix scan in _boundary_values is not reliably DCE'd down to
-    one direction)."""
+def _forward_boundaries(init, C):
+    """Prefix-only fold of chunk operators: ``T`` (log forward at each
+    chunk's last position) without the suffix products — for callers that
+    do not need the backward direction (the fused prefix+suffix stream in
+    :func:`_boundary_values` is not reliably DCE'd down to one direction)."""
     log_init = jnp.log(_clamped(init))
     m, b = C.shape[1:3]
     v0 = jnp.broadcast_to(log_init[:, None], (m, b, log_init.shape[-1]))
 
     def fold(v, C_p):
-        return logmatmul(v[..., None, :], C_p)[..., 0, :], None
+        v_new = logmatmul(v[..., None, :], C_p)[..., 0, :]
+        return v_new, v_new
 
-    v, _ = lax.scan(fold, v0, C)
-    return jax.nn.logsumexp(v, axis=-1)
+    _, T = lax.scan(fold, v0, C)
+    return T
+
+
+def _loglik_from_C(init, C):
+    return jax.nn.logsumexp(_forward_boundaries(init, C)[-1], axis=-1)
 
 
 def _loglik_chunked_primal(init, A, E, P):

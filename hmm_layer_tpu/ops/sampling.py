@@ -30,9 +30,9 @@ import jax.numpy as jnp
 from jax import lax
 
 from .recursion import (
-    _boundary_values,
     _chunk_summaries_dispatch,
     _clamped,
+    _forward_boundaries,
     _forward_seq,
 )
 
@@ -50,6 +50,49 @@ _MASK = -1e30
 
 def _masked_log(A):
     return jnp.where(A > 0, jnp.log(_clamped(A)), _MASK)
+
+
+def _bool_matpower(Ab, n: int):
+    """Support of ``A^n`` per model: (m, q, q) bool, exponentiation by
+    squaring (n is a static chunk length)."""
+    m, q = Ab.shape[0], Ab.shape[-1]
+    out = jnp.broadcast_to(jnp.eye(q, dtype=jnp.float32), (m, q, q))
+    base = Ab.astype(jnp.float32)
+    while n:
+        if n & 1:
+            out = (out @ base > 0).astype(jnp.float32)
+        base = ((base @ base) > 0).astype(jnp.float32)
+        n >>= 1
+    return out > 0
+
+
+def _boundary_masks(init, A, P: int, c: int):
+    """Hard structural masks for the chunk-boundary Markov chain.
+
+    The summary scan EPS-clamps its per-step operators, so structurally
+    impossible entries of ``C``/``T`` are *soft* floors (~36.8 log-units
+    below the running scale per step) — close enough for Gumbel-max to
+    sample in adversarially sparse models. Exactness needs true masks:
+
+    Returns ``reach_c`` (m, q, q) — the support of chunk-(p>0) operators
+    (``c`` A-factors: the transition-applied start plus c-1 steps) — and
+    ``fmask`` (P, m, q) — forward reachability at each chunk's last
+    position (chunk 0 reaches through c-1 A-factors from the init support).
+    Emissions and init are EPS-clamped by the engine (only ``A`` carries
+    structural zeros), so A-support reachability is the exact criterion.
+    """
+    Ab = A > 0
+    reach_c = _bool_matpower(Ab, c)
+    R0 = _bool_matpower(Ab, c - 1).astype(jnp.float32)
+    f0 = ((init > 0).astype(jnp.float32)[:, None, :] @ R0)[:, 0] > 0  # (m, q)
+    reach_f = reach_c.astype(jnp.float32)
+
+    def fstep(fv, _):
+        nxt = (fv.astype(jnp.float32)[:, None, :] @ reach_f)[:, 0] > 0
+        return nxt, nxt
+
+    _, frest = lax.scan(fstep, f0, None, length=P - 1)
+    return reach_c, jnp.concatenate([f0[None], frest], axis=0)
 
 
 def _gumbel_argmax(logits, g):
@@ -99,7 +142,17 @@ def _sample_backward_chunked(init, A, E, log_A, key, S, P):
     m, b, L, q = E.shape
     c = L // P
     C = _chunk_summaries_dispatch(A, E, P)  # (P, m, b, q, q)
-    T, _, _ = _boundary_values(init, C)  # log-forward at chunk ends
+    # Prefix-only fold: sampling needs the forward boundary values only —
+    # the fused fwd+bwd stream of _boundary_values would pay for a suffix
+    # pass that is not reliably DCE'd.
+    T = _forward_boundaries(init, C)  # log-forward at chunk ends
+    # Hard structural masks: C/T from the EPS-clamped summary scan floor
+    # impossible entries softly; mask them so the exactness invariant
+    # ("zero-probability transitions are never sampled") holds across
+    # chunk boundaries, not just within chunks.
+    reach_c, fmask = _boundary_masks(init, A, P, c)
+    T = jnp.where(fmask[:, :, None, :], T, _MASK)
+    C_next = jnp.where(reach_c[None, :, None], C[1:], _MASK)
     kb, kw = jax.random.split(key)
 
     # -- boundary pass: exact FFBS over the chunk-end Markov chain -------------
@@ -107,13 +160,13 @@ def _sample_backward_chunked(init, A, E, log_A, key, S, P):
     s_P = _gumbel_argmax(T[-1][:, :, None, :], gb[-1])
 
     def bstep(s_next, inp):
-        T_p, C_next, g_p = inp
+        T_p, C_p1, g_p = inp
         oh = jax.nn.one_hot(s_next, q, dtype=E.dtype)
-        w = jnp.einsum("mbsj,mbij->mbsi", oh, C_next)
+        w = jnp.einsum("mbsj,mbij->mbsi", oh, C_p1)
         s = _gumbel_argmax(T_p[:, :, None, :] + w, g_p)
         return s, s
 
-    _, sbs = lax.scan(bstep, s_P, (T[:-1], C[1:], gb[:-1]), reverse=True)
+    _, sbs = lax.scan(bstep, s_P, (T[:-1], C_next, gb[:-1]), reverse=True)
     s_bounds = jnp.concatenate([sbs, s_P[None]], axis=0)  # (P, m, b, S)
 
     if c == 1:

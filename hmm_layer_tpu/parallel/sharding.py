@@ -39,7 +39,6 @@ from ..ops.recursion import (
     _boundary_backtrace,
     _chunk_summaries,
     _clamped,
-    _forward_boundary_starts,
     _forward_outputs,
     _split_chunks,
     _summaries_from_rows,
@@ -71,8 +70,10 @@ def _plogsumexp(x, axis_name):
 
     The max shift is wrapped in stop_gradient (exact for any constant
     shift) so the reduction stays differentiable — ``lax.pmax`` has no
-    differentiation rule."""
-    m = lax.stop_gradient(lax.pmax(x, axis_name))
+    differentiation rule (it raises NotImplementedError at trace time even
+    under stop_gradient, because the JVP rule is looked up regardless), so
+    the cross-device max runs as all_gather + max."""
+    m = lax.stop_gradient(jnp.max(lax.all_gather(x, axis_name), axis=0))
     safe = jnp.where(jnp.isfinite(m), m, 0.0)
     return jnp.log(lax.psum(jnp.exp(x - safe), axis_name)) + safe
 
@@ -769,8 +770,14 @@ def _seq_local_forward_backward(init_l, A_l, E_l, idx, n_seq, P_local, seq_axis)
     log_init_b = jnp.broadcast_to(
         jnp.log(_clamped(init_l))[:, None, :], (m, b, q)
     )
-    C, block = _local_block_operator(A_l, E_l, P_local, idx, seq_axis)
-    blocks = lax.all_gather(block, seq_axis)  # (n, m, b, q, q)
+    C, _ = _chunk_summaries(
+        A_l, E_l, P_local, first_chunk_identity=(idx == 0)
+    )
+    # The device block operator IS the last prefix product — reuse it
+    # instead of folding C a second time (_local_block_operator exists for
+    # the loglik-only path, which never forms the prefix scan).
+    prefix = lax.associative_scan(logmatmul, C, axis=0)
+    blocks = lax.all_gather(prefix[-1], seq_axis)  # (n, m, b, q, q)
     v_ends, w_ends, ll = _device_boundary_values(blocks, log_init_b, n_seq)
 
     v_all = jnp.stack([log_init_b] + v_ends[:-1], axis=0)
@@ -778,8 +785,6 @@ def _seq_local_forward_backward(init_l, A_l, E_l, idx, n_seq, P_local, seq_axis)
     w_exit = lax.dynamic_index_in_dim(
         jnp.stack(w_ends, axis=0), idx, 0, keepdims=False
     )
-
-    prefix = lax.associative_scan(logmatmul, C, axis=0)
     T = jax.nn.logsumexp(v_enter[None, ..., None] + prefix, axis=-2)
     suffix = lax.associative_scan(
         lambda x, y: logmatmul(y, x), C, axis=0, reverse=True

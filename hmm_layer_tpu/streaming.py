@@ -193,6 +193,11 @@ def streaming_viterbi_init(
         (state, committed (m, b, L_block - lag) int32).
     """
     m, b, L_block, q = E_block.shape
+    if lag < 1:
+        raise ValueError(
+            f"lag must be >= 1, got {lag} (a zero-lag stream leaves an "
+            "empty buffer that finalize cannot decode)"
+        )
     if L_block < lag:
         raise ValueError(f"first block length {L_block} must be >= lag {lag}")
     log_E = jnp.log(_clamped(E_block))

@@ -556,6 +556,55 @@ class TestPosteriorSampling:
             nxt = paths[..., 1:]
             assert np.all(nxt[pre == 1] == 2), f"P={P}"
 
+    def test_boundary_masks_are_exact(self):
+        """The chunk-boundary FFBS factors must be HARD-masked where the
+        structure forbids them — the EPS-clamped summary scan only
+        soft-floors impossible entries of C/T (regression for the
+        boundary-pass exactness gap)."""
+        from hmm_layer_tpu.ops import sampling
+
+        # Deterministic 3-cycle: at position t only state t mod 3 is
+        # reachable; chunk length c=4 is coprime to the period.
+        q, L, P, b = 3, 16, 4, 2
+        c = L // P
+        A = np.zeros((1, q, q), np.float32)
+        A[0, 0, 1] = A[0, 1, 2] = A[0, 2, 0] = 1.0
+        init = np.zeros((1, q), np.float32)
+        init[0, 0] = 1.0
+        rng2 = np.random.default_rng(5)
+        E = rng2.uniform(0.2, 1.0, (1, b, L, q)).astype(np.float32)
+
+        reach_c, fmask = sampling._boundary_masks(
+            jnp.asarray(init), jnp.asarray(A), P, c
+        )
+        # A^c support for the cycle: i -> (i + c) mod 3, one entry per row.
+        expect = np.zeros((q, q), bool)
+        for i in range(q):
+            expect[i, (i + c) % q] = True
+        np.testing.assert_array_equal(np.asarray(reach_c[0]), expect)
+        # Chunk p ends at position (p+1)*c - 1; only state ((p+1)*c-1) % 3
+        # is forward-reachable there.
+        fm = np.asarray(fmask[:, 0])
+        for p in range(P):
+            pos = (p + 1) * c - 1
+            want = np.zeros(q, bool)
+            want[pos % q] = True
+            np.testing.assert_array_equal(fm[p], want, err_msg=f"p={p}")
+
+        # End-to-end: every sampled path follows the cycle exactly.
+        paths = np.asarray(
+            sampling.sample_posterior(
+                jnp.asarray(init),
+                jnp.asarray(A),
+                jnp.asarray(E),
+                jax.random.PRNGKey(3),
+                num_samples=16,
+                parallel_factor=P,
+            )
+        )
+        want = (np.arange(L) % q)[None, None, None]
+        np.testing.assert_array_equal(paths, np.broadcast_to(want, paths.shape))
+
     @pytest.mark.parametrize("P", [1, 2])
     def test_joint_path_distribution_exact(self, P):
         from hmm_layer_tpu.ops import sampling
@@ -701,6 +750,18 @@ class TestBlockedViterbiDecode:
 class TestStreamingViterbi:
     """Bounded-lag online decode: block-streamed fixed-lag Viterbi with
     decision-feedback seam conditioning."""
+
+    def test_zero_lag_rejected(self):
+        """lag=0 would leave an empty buffer that finalize cannot decode
+        (regression: IndexError deep in the window decode)."""
+        from hmm_layer_tpu import streaming
+
+        rng = np.random.default_rng(0)
+        init, A, E = random_hmm(rng, q=3, L=8, b=1)
+        with pytest.raises(ValueError, match="lag"):
+            streaming.streaming_viterbi_init(
+                init[None], A[None], E[None], lag=0
+            )
 
     def _decode_streamed(self, init, A, E, block, lag):
         from hmm_layer_tpu import streaming

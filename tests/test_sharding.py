@@ -658,3 +658,56 @@ class TestStateShardedGradients:
         np.testing.assert_allclose(
             np.asarray(g) / scale, np.asarray(g_ref) / scale, atol=5e-4
         )
+
+    @pytest.mark.parametrize("pf", [4])
+    def test_loglik_chunked_autodiff_matches_dense(self, pf):
+        """parallel_factor > 1 grads route through _plogsumexp/_sharded
+        folds — regression: lax.pmax in _plogsumexp raised
+        NotImplementedError under jax.grad even inside stop_gradient."""
+        init, A, E = random_hmm(RNG, q=8, L=24, b=3)
+        init, A, E = _stack(init, A, E)
+        mesh = sharding.make_mesh({"state": 4})
+
+        def dense(a, e):
+            return recursion.log_likelihood(
+                jnp.asarray(init), a, e, analytic_vjp=False
+            ).sum()
+
+        def shard(a, e):
+            return sharding.state_sharded_log_likelihood(
+                jnp.asarray(init), a, e, mesh, parallel_factor=pf
+            ).sum()
+
+        args = (jnp.asarray(A), jnp.asarray(E))
+        g_ref = jax.grad(dense, argnums=(0, 1))(*args)
+        g = jax.grad(shard, argnums=(0, 1))(*args)
+        for a, r in zip(g, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(r), rtol=2e-3, atol=2e-4
+            )
+
+    @pytest.mark.parametrize("pf", [4])
+    def test_posterior_chunked_autodiff_matches_dense(self, pf):
+        init, A, E = random_hmm(RNG, q=8, L=16, b=2)
+        init, A, E = _stack(init, A, E)
+        mesh = sharding.make_mesh({"state": 4})
+        w = jnp.asarray(
+            np.random.default_rng(9).normal(size=(1, 2, 16, 8)).astype(np.float32)
+        )
+
+        def dense(a):
+            lg, _ = recursion.posterior(jnp.asarray(init), a, jnp.asarray(E))
+            return jnp.sum(lg * w)
+
+        def shard(a):
+            lg, _ = sharding.state_sharded_posterior(
+                jnp.asarray(init), a, jnp.asarray(E), mesh, parallel_factor=pf
+            )
+            return jnp.sum(lg * w)
+
+        g_ref = jax.grad(dense)(jnp.asarray(A))
+        g = jax.grad(shard)(jnp.asarray(A))
+        scale = max(np.abs(np.asarray(g_ref)).max(), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(g) / scale, np.asarray(g_ref) / scale, atol=5e-4
+        )
