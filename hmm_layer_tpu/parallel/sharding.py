@@ -35,11 +35,16 @@ from ..ops.recursion import (
     _affine_boundary_fold,
     _affine_composites,
     _affine_outputs,
+    _backward_adjoint_weights,
+    _backward_gA_factors,
     _backward_outputs,
     _boundary_backtrace,
     _chunk_summaries,
     _clamped,
+    _forward_adjoint_weights,
+    _forward_gA_factors,
     _forward_outputs,
+    _loglik_bw_stats,
     _split_chunks,
     _summaries_from_rows,
     _viterbi_boundaries,
@@ -703,31 +708,16 @@ def _seq_ll_bwd(mesh, seq_axis, data_axis, P_local, res, ct):
             init_l, A_l, E_l, idx, n_seq, P_local, seq_axis
         )
         log_E = jnp.log(_clamped(E_l))
-        maskE = E_l >= EPS
 
-        lgam = la + lb - ll[..., None, None]
-        gE = jnp.exp(lgam - log_E) * maskE * ct_l[..., None, None]
-
-        ginit0 = (
-            jnp.sum(
-                jnp.exp(log_E[:, :, 0] + lb[:, :, 0] - ll[..., None])
-                * ct_l[..., None],
-                axis=1,
-            )
-            * (init_l >= EPS)
+        # Within-block statistics are exactly the dense Baum-Welch VJP's
+        # (single-sourced); ginit is only meaningful on the first device.
+        ginit0, gA, gE = _loglik_bw_stats(
+            init_l, A_l, E_l, la, lb, ll, ct_l
         )
         ginit = lax.psum(
             jnp.where(idx == 0, ginit0, jnp.zeros_like(ginit0)), reduce_axes
         )
 
-        # Within-block expected transition pairs (t-1, t), balanced shift.
-        cshift = jnp.max(la[:, :, :-1], axis=-1, keepdims=True)
-        w = jnp.exp(la[:, :, :-1] - cshift)
-        u = (
-            jnp.exp(lb[:, :, 1:] + log_E[:, :, 1:] - ll[..., None, None] + cshift)
-            * ct_l[..., None, None]
-        )
-        gA = jnp.einsum("mbti,mbtj->mij", w, u, precision=_PRECISION)
         # Cross-device pair: forward at the previous block's end IS v_enter.
         csp = jnp.max(v_enter, axis=-1, keepdims=True)
         wp = jnp.exp(v_enter - csp)
@@ -934,25 +924,11 @@ def _shift_from_prev(x, seq_axis, n_seq):
     )
 
 
-def _seq_affine_solve(B, u, v, s, P_local, seq_axis, n_seq, idx, flipped):
-    """Sequence-sharded chunked affine adjoint solve.
-
-    Solves the global reverse recursion ``x_t = s_t + u_t (B (v_t x_{t+1})))``
-    with the sequence axis device-sharded: per-chunk composites (Pallas
-    where supported) fold into ONE device composite, device composites are
-    all-gathered (q x (q+1), tiny) and folded right-to-left, then the local
-    boundary fold + output passes run from the device's right-edge adjoint.
-
-    ``flipped``: the lb-adjoint runs on the flipped time axis, which
-    reverses the device order of the global fold (device 0 holds the
-    flipped-rightmost block). Callers pass locally-flipped (u, v, s).
-    """
-    m, b, L_l, q = s.shape
-    comp = _affine_composites(B, u, v, s, P_local)  # (P, m, b, q, q+1)
-
-    # Device composite: affine composition of the local chunk composites.
+def _fold_device_composite(comp):
+    """Affine composition of a device's chunk composites (right-to-left)."""
+    q = comp.shape[-2]
     D = comp[-1]
-    for p in range(P_local - 2, -1, -1):
+    for p in range(comp.shape[0] - 2, -1, -1):
         K = jnp.einsum(
             "mbij,mbjk->mbik", comp[p][..., :q], D[..., :q],
             precision=_PRECISION,
@@ -962,12 +938,20 @@ def _seq_affine_solve(B, u, v, s, P_local, seq_axis, n_seq, idx, flipped):
             precision=_PRECISION,
         )
         D = jnp.concatenate([K, o[..., None]], axis=-1)
+    return D
 
-    Dall = lax.all_gather(D, seq_axis)  # (n, m, b, q, q+1)
 
-    # Global right-to-left fold in EFFECTIVE device order (redundant on all
-    # devices; O(n q^2 b)).
-    x = jnp.zeros((m, b, q), s.dtype)
+def _global_right_edge(Dall, n_seq, idx, flipped):
+    """This device's right-edge adjoint from the all-gathered device
+    composites: a redundant right-to-left fold in EFFECTIVE device order
+    (O(n q^2 b) — tiny).
+
+    ``flipped``: the lb-adjoint runs on the flipped time axis, which
+    reverses the device order of the global fold (device 0 holds the
+    flipped-rightmost block).
+    """
+    n, m, b, q = Dall.shape[:4]
+    x = jnp.zeros((m, b, q), Dall.dtype)
     rights_dev = [None] * n_seq
     rights_dev[n_seq - 1] = x
     for dd in range(n_seq - 1, 0, -1):
@@ -978,12 +962,31 @@ def _seq_affine_solve(B, u, v, s, P_local, seq_axis, n_seq, idx, flipped):
         )
         rights_dev[dd - 1] = x
     my_eff = idx if not flipped else n_seq - 1 - idx
-    x_right = lax.dynamic_index_in_dim(
+    return lax.dynamic_index_in_dim(
         jnp.stack(rights_dev, axis=0), my_eff, 0, keepdims=False
     )
 
+
+def _seq_affine_solve2(B2, u2, v2, s2, P_local, seq_axis, n_seq, idx):
+    """Both posterior adjoint solves as ONE stacked batch (B2 = [A; A^T]),
+    like the dense VJP — halving the sequential composite/output scans.
+    The first m models run in device order (la adjoint), the last m on the
+    flipped time axis (lb adjoint); only the tiny global edge fold differs
+    per half. Returns (x_fwd, x_bwd_flipped), each (m, b, L_local, q).
+    """
+    m = B2.shape[0] // 2
+    comp = _affine_composites(B2, u2, v2, s2, P_local)
+    Dall = lax.all_gather(_fold_device_composite(comp), seq_axis)
+    x_right = jnp.concatenate(
+        [
+            _global_right_edge(Dall[:, :m], n_seq, idx, flipped=False),
+            _global_right_edge(Dall[:, m:], n_seq, idx, flipped=True),
+        ],
+        axis=0,
+    )
     rights = _affine_boundary_fold(comp, x_right)
-    return _affine_outputs(B, u, v, s, P_local, rights)
+    x2 = _affine_outputs(B2, u2, v2, s2, P_local, rights)
+    return x2[:m], x2[m:]
 
 
 def _seq_post_bwd(mesh, seq_axis, data_axis, P_local, no_loglik, res, cts):
@@ -992,7 +995,8 @@ def _seq_post_bwd(mesh, seq_axis, data_axis, P_local, no_loglik, res, cts):
     Mirrors ``recursion._posterior_analytic_vjp`` (same gamma-scalar +
     centered-residual decomposition — see its stability notes) with three
     distributed ingredients: (a) the two affine adjoint solves gain a device
-    level (:func:`_seq_affine_solve`), (b) the boundary-adjacent adjoint
+    level and run stacked as one batch (:func:`_seq_affine_solve2`), (b)
+    the boundary-adjacent adjoint
     weights (``gbar`` at a block's last step, ``fp`` at a block's first)
     come from one ppermute of the neighbor's edge values, and (c) the
     expected-transition einsums add the cross-device (last, first) pair and
@@ -1036,50 +1040,42 @@ def _seq_post_bwd(mesh, seq_axis, data_axis, P_local, no_loglik, res, cts):
         ct_ll_eff = ct_ll_l if no_loglik else ct_ll_l - sig_tot
         src = ct_l - gam * sig[..., None]
 
-        # -- adjoint weights with boundary exchange --------------------------
-        # la adjoint: gbar at the block's LAST step needs the right
-        # neighbor's first-position (la, log_E); zero on the last device
-        # (global terminal).
+        # -- adjoint weights: the dense single-sourced constructions, with
+        # their zeroed terminal/initial slot overwritten by the neighbor
+        # exchange (gbar at a block's LAST step needs the right neighbor's
+        # first-position (la, log_E); fp at a block's FIRST step the left
+        # neighbor's last-position lb; the global edges stay zero).
         la_next0 = _shift_from_next(la[:, :, 0], seq_axis, n_seq)
         logE_next0 = _shift_from_next(log_E[:, :, 0], seq_axis, n_seq)
-        sM = jnp.max(la, axis=-1, keepdims=True)  # (m, b, L_l, 1)
-        f = jnp.exp(la - sM)
-        gbar_inner = jnp.exp(
-            log_E[:, :, 1:] + sM[:, :, :-1] - la[:, :, 1:]
-        )
+        f, gbar = _forward_adjoint_weights(la, log_E)
+        sM_last = jnp.max(la[:, :, -1], axis=-1, keepdims=True)  # (m, b, 1)
         gbar_last = jnp.where(
             idx == n_seq - 1,
             jnp.zeros_like(la_next0),
-            jnp.exp(logE_next0 + sM[:, :, -1] - la_next0),
+            jnp.exp(logE_next0 + sM_last - la_next0),
         )
-        gbar = jnp.concatenate([gbar_inner, gbar_last[:, :, None]], axis=2)
+        gbar = gbar.at[:, :, -1].set(gbar_last)
 
-        # lb adjoint: fp at the block's FIRST step needs the left neighbor's
-        # last-position lb; zero on the first device.
         lb_prev_last = _shift_from_prev(lb[:, :, -1], seq_axis, n_seq)
-        elb = log_E + lb
-        sp = jnp.max(elb, axis=-1, keepdims=True)
-        fp_inner = jnp.exp(sp[:, :, 1:] - lb[:, :, :-1])
+        fp, gp, sp, elb = _backward_adjoint_weights(lb, log_E)
         fp_first = jnp.where(
             idx == 0,
             jnp.zeros_like(lb_prev_last),
             jnp.exp(sp[:, :, 0] - lb_prev_last),
         )
-        fp = jnp.concatenate([fp_first[:, :, None], fp_inner], axis=2)
-        gp = jnp.exp(elb - sp)
+        fp = fp.at[:, :, 0].set(fp_first)
 
-        # -- the two device-level affine solves ------------------------------
+        # -- the two device-level affine solves, stacked like the dense VJP --
         flip = lambda x: jnp.flip(x, axis=2)
         A_T = jnp.swapaxes(A_l, -1, -2)
-        bhat = _seq_affine_solve(
-            A_l, f, gbar, src, P_local, seq_axis, n_seq, idx, flipped=False
+        bhat, chat_f = _seq_affine_solve2(
+            jnp.concatenate([A_l, A_T], axis=0),
+            jnp.concatenate([f, flip(gp)], axis=0),
+            jnp.concatenate([gbar, flip(fp)], axis=0),
+            jnp.concatenate([src, flip(src)], axis=0),
+            P_local, seq_axis, n_seq, idx,
         )
-        chat = flip(
-            _seq_affine_solve(
-                A_T, flip(gp), flip(fp), flip(src), P_local, seq_axis,
-                n_seq, idx, flipped=True,
-            )
-        )
+        chat = flip(chat_f)
         # Project out numerical drift along the growing gamma mode (the
         # exact residuals are zero-sum; see the dense VJP).
         bhat = bhat - gam * jnp.sum(bhat, axis=-1, keepdims=True)
@@ -1098,20 +1094,20 @@ def _seq_post_bwd(mesh, seq_axis, data_axis, P_local, no_loglik, res, cts):
             jnp.where(idx == 0, ginit0, jnp.zeros_like(ginit0)), reduce_axes
         )
 
-        # gA: within-block pairs + the cross-device (last, first) pair.
+        # gA: within-block pairs (single-sourced factor constructions) +
+        # the cross-device (last, first) pair.
         kappa = ct_ll_l + (sig_tot if no_loglik else 0.0)
-        csh = jnp.max(la[:, :, :-1], axis=-1, keepdims=True)
-        F = jnp.exp(la[:, :, :-1] - csh)
+        F, G_of, csh = _forward_gA_factors(la, log_E)
         xi_u = (
             jnp.exp(lb[:, :, 1:] + log_E[:, :, 1:] - ll[..., None, None] + csh)
             * kappa[..., None, None]
         )
-        G_bhat = bhat[:, :, 1:] * jnp.exp(log_E[:, :, 1:] - la[:, :, 1:] + csh)
-        Fp_chat = chat[:, :, :-1] * jnp.exp(sp[:, :, 1:] - lb[:, :, :-1])
-        Gp = jnp.exp(elb[:, :, 1:] - sp[:, :, 1:])
+        Fp_of, Gp = _backward_gA_factors(lb, sp, elb)
         gA = jnp.einsum(
-            "mbti,mbtj->mij", F, xi_u + G_bhat, precision=_PRECISION
-        ) + jnp.einsum("mbti,mbtj->mij", Fp_chat, Gp, precision=_PRECISION)
+            "mbti,mbtj->mij", F, xi_u + G_of(bhat), precision=_PRECISION
+        ) + jnp.einsum(
+            "mbti,mbtj->mij", Fp_of(chat), Gp, precision=_PRECISION
+        )
 
         # Cross-device pair (t = left neighbor's last, t+1 = own first).
         la_prev_last = _shift_from_prev(la[:, :, -1], seq_axis, n_seq)
