@@ -179,6 +179,13 @@ class HMMLayer:
 
     def apply_sequence_weights(self, loglik, indices, aggregate: bool = False):
         if self.sequence_weights is not None:
+            if indices is None:
+                raise ValueError(
+                    "sequence_weights are set but no batch `indices` were "
+                    "passed — weights are looked up per sequence "
+                    "(MsaHMMLayer.py:155-164 semantics); indexing with None "
+                    "would silently add an axis instead"
+                )
             weights = self.sequence_weights[indices]
             loglik = loglik * weights
             if aggregate:

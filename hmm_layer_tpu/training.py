@@ -220,12 +220,14 @@ class Trainer:
 
     def score_models(self, params, batches: Iterable) -> np.ndarray:
         """Mean per-model log-likelihood over ``batches``; (num_models,)."""
+        score = jax.jit(
+            lambda p, x: jnp.sum(self.layer.log_likelihood(p, x), axis=1)
+        )
         total = count = 0
         for batch in batches:
             if isinstance(batch, tuple):
                 batch = batch[0]
-            ll = self.layer.log_likelihood(params, batch)  # (m, b)
-            total = total + np.asarray(jnp.sum(ll, axis=1))
+            total = total + np.asarray(score(params, batch))  # (m,)
             count += batch.shape[1]
         return total / max(count, 1)
 
