@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.kmer import encode_kmer_string, make_k_mers
+from .emission_utils import apply_end_hints
 from ..utils.bijectors import DefaultDiagBijector
 from .mvn import MvnMixture
 
@@ -130,6 +131,16 @@ class SimpleGenePredEmissions:
             )
         return params
 
+    def trainable_mask(self, params) -> dict:
+        """``trainable_emissions=False`` freezes the class-emission kernel
+        (the reference sets ``requires_grad`` on it,
+        ``gene_pred_hmm_emitter.py:61-74``); embedding/nucleotide kernels
+        stay trainable — they only exist when explicitly enabled."""
+        return {
+            k: (self.trainable_emissions if k == "emission_kernel" else True)
+            for k in params
+        }
+
     def make_B(self, params):
         return jax.nn.softmax(params["emission_kernel"], axis=-1)
 
@@ -143,11 +154,7 @@ class SimpleGenePredEmissions:
         )
 
     def _apply_end_hints(self, emit, end_hints):
-        if end_hints is None:
-            return emit
-        left = end_hints[..., :1, :] * emit[..., :1, :]
-        right = end_hints[..., 1:, :] * emit[..., -1:, :]
-        return jnp.concatenate([left, emit[..., 1:-1, :], right], axis=-2)
+        return apply_end_hints(emit, end_hints)
 
     def emissions(self, params, inputs, end_hints=None, training: bool = False):
         """Per-state emission probabilities.

@@ -21,10 +21,14 @@ from __future__ import annotations
 
 import numpy as np
 
-# Standard 20 amino acids + rare letters, in learnMSA's input-encoding
-# order (A..Y alphabetical one-letter codes), padded with X for any
-# out-of-range index.
-AMINO_ALPHABET = "ACDEFGHIKLMNPQRSTVWYBZXUO"
+from ..data import PROTEIN_ALPHABET
+
+# The learnMSA input-encoding order — the SAME table data.encode_protein
+# one-hots with, so `argmax` of an encoded input decodes back to the
+# original letter. (A previous alphabetical ordering here mismatched the
+# encoder and printed wrong residue letters.) Out-of-range indices render
+# as X.
+AMINO_ALPHABET = PROTEIN_ALPHABET
 
 __all__ = ["AMINO_ALPHABET", "paths_to_msa", "write_msa"]
 
@@ -92,7 +96,11 @@ def paths_to_msa(
             if 1 <= s <= Lm and s > last:
                 match[s] = c.upper()
                 last = s
-            elif Lm + 1 <= s <= 2 * Lm - 1:  # INSERT k sits after column k
+            elif Lm + 1 <= s <= 2 * Lm - 1 and s - Lm >= last:
+                # INSERT k sits after column k. A valid single-hit path only
+                # reaches I_k with k == last; the guard keeps a multi-hit
+                # re-entry's insert residues anchored after the last column
+                # reached so the row reads in sequence order.
                 inserts[s - Lm] += c.lower()
             elif s == 2 * Lm + 1:  # RIGHT_FLANK
                 inserts[Lm] += c.lower()
@@ -107,7 +115,7 @@ def paths_to_msa(
     # Column-wise composition with per-block padding to the widest insert.
     rows = [""] * b
     for j in range(Lm + 1):
-        width = max(len(insert_rows[i][j]) for i in range(b))
+        width = max((len(insert_rows[i][j]) for i in range(b)), default=0)
         for i in range(b):
             rows[i] += insert_rows[i][j].ljust(width, ".")
             if j < Lm:

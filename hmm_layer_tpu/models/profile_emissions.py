@@ -29,6 +29,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .emission_utils import apply_end_hints
 from .priors import AminoAcidPrior
 from .profile_transitions import get_num_states
 
@@ -36,8 +37,13 @@ __all__ = ["ProfileEmissions", "TemperatureMode"]
 
 
 class TemperatureMode(enum.Enum):
-    """Softmax-temperature schedules for emission training
-    (``Emitter.py:232-247``)."""
+    """Softmax-temperature schedule SELECTORS (``Emitter.py:232-247``).
+
+    Carried for config parity: in the reference too, the enum only labels
+    which schedule an outer training loop (learnMSA's) should apply — no
+    mode changes emission *scoring* in either implementation. A training
+    loop can consume the value to scale emission kernels over time;
+    :class:`ProfileEmissions` itself does not."""
 
     TRAINABLE = 1
     LENGTH_NORM = 2
@@ -153,11 +159,7 @@ class ProfileEmissions:
         B = self.make_B(params)
         s_in = inputs.shape[-1]
         emit = jnp.einsum("mbls,mqs->mblq", inputs, B[..., :s_in])
-        if end_hints is not None:
-            left = end_hints[..., :1, :] * emit[..., :1, :]
-            right = end_hints[..., 1:, :] * emit[..., -1:, :]
-            emit = jnp.concatenate([left, emit[..., 1:-1, :], right], axis=-2)
-        return emit
+        return apply_end_hints(emit, end_hints)
 
     def prior_log_density(self, params):
         return self.prior(self.make_B(params), lengths=self.lengths)

@@ -313,14 +313,22 @@ class ProfileTransitions:
         return copy, sub
 
     def trainable_mask(self, params) -> dict:
-        """Boolean pytree marking trainable leaves (frozen kernel support)."""
+        """Boolean pytree marking trainable leaves (frozen kernel support).
+
+        ``frozen_kernels`` may name ANY member of a shared-kernel group
+        (the reference consults every explicit part name,
+        ``Transitioner.py:109``); params store only the canonical name, so
+        freezing e.g. ``left_flank_loop`` must freeze the shared
+        ``right_flank_loop`` kernel."""
+        frozen_canonical = {
+            _canonical_name(name)
+            for name, frozen in self.frozen_kernels.items()
+            if frozen
+        }
         mask_kernels = []
         for model_kernel in params["kernels"]:
             mask_kernels.append(
-                {
-                    name: not self.frozen_kernels.get(name, False)
-                    for name in model_kernel
-                }
+                {name: name not in frozen_canonical for name in model_kernel}
             )
         return {
             "kernels": mask_kernels,

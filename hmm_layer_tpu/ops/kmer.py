@@ -24,21 +24,26 @@ ALPHABET = "ACGT"
 def make_k_mers(sequences, k: int, pivot_left: bool = True):
     """Map one-hot (..., L, 5) ACGTN sequences to k-mer tensors.
 
-    Returns an array of shape ``(..., L, 4**(k-1), 4)``.
+    Returns an array of shape ``(..., L, 4**(k-1), 4)``. A NumPy input
+    stays NumPy (host-side constant tables — e.g. the codon tables built in
+    emitter constructors — must not dispatch to the device: each jnp op
+    would cost a tunnel round-trip and initialize the backend at
+    construction time); anything else runs in jnp (traceable).
     """
+    xp = np if isinstance(sequences, np.ndarray) else jnp
     L = sequences.shape[-2]
     n = sequences.shape[-1] - 1  # alphabet size without N
 
     seq = sequences[..., :-1] + sequences[..., -1:] / n  # spread N uniformly
     pad_shape = seq.shape[:-2] + (k - 1, n)
-    pad = jnp.full(pad_shape, 1.0 / n, dtype=seq.dtype)
+    pad = xp.full(pad_shape, 1.0 / n, dtype=seq.dtype)
 
     if pivot_left:
-        padded = jnp.concatenate([seq, pad], axis=-2)
+        padded = xp.concatenate([seq, pad], axis=-2)
         k_mers = padded[..., :L, None, :]
         iteration = range(1, k)
     else:
-        padded = jnp.concatenate([pad, seq], axis=-2)
+        padded = xp.concatenate([pad, seq], axis=-2)
         k_mers = padded[..., k - 1 : L + k - 1, None, :]
         iteration = range(k - 2, -1, -1)
 

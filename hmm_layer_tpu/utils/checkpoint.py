@@ -32,6 +32,13 @@ def _flatten(tree):
     return out
 
 
+def _meta_path(path: str) -> str:
+    """Sidecar path, independent of whether ``path`` carries the ``.npz``
+    suffix (``np.savez`` appends it when absent)."""
+    base = path[: -len(".npz")] if path.endswith(".npz") else path
+    return base + ".meta.json"
+
+
 def save_checkpoint(path: str, params, step: int | None = None, **metadata):
     """Write a params pytree (and optional metadata) to ``path`` (.npz)."""
     arrays = _flatten(params)
@@ -41,7 +48,7 @@ def save_checkpoint(path: str, params, step: int | None = None, **metadata):
     if step is not None:
         meta["step"] = step
     if meta:
-        with open(path + ".meta.json", "w") as f:
+        with open(_meta_path(path), "w") as f:
             json.dump(meta, f, indent=2, default=str)
 
 
@@ -68,10 +75,13 @@ def load_checkpoint(path: str, like):
 
 
 def load_metadata(path: str) -> dict:
-    meta_path = path + ".meta.json"
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            return json.load(f)
+    """Metadata sidecar for a checkpoint, accepting the path with or
+    without the ``.npz`` suffix (mirrors :func:`load_checkpoint`'s
+    normalization; the suffix-appended legacy sidecar name is also read)."""
+    for candidate in (_meta_path(path), path + ".meta.json"):
+        if os.path.exists(candidate):
+            with open(candidate) as f:
+                return json.load(f)
     return {}
 
 

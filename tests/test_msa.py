@@ -29,12 +29,16 @@ class TestPathsToMsa:
                 [s["M"][1], s["M"][3], s["RF"], s["T"]],
             ]
         )
-        # Residue indices: A=0, C=1, D=2, E=3 in AMINO_ALPHABET.
         residues = np.array([[0, 1, 2, 3], [0, 3, 1, 0]])
         rows = paths_to_msa(paths, residues, model_length=3)
-        # Insertion block after column 2 width 1 (seq0's "d"); right-flank
-        # block after column 3 width 1 (seq1's "c").
-        assert rows == ["ACdE.", "A-.Ec"]
+        # Insertion block after column 2 width 1 (seq0's insert); right-flank
+        # block after column 3 width 1 (seq1's flank residue). Letters come
+        # from AMINO_ALPHABET so the test tracks the encoder's ordering.
+        A = AMINO_ALPHABET
+        assert rows == [
+            f"{A[0]}{A[1]}{A[2].lower()}{A[3]}.",
+            f"{A[0]}-.{A[3]}{A[1].lower()}",
+        ]
 
     def test_flanks_and_unannotated(self):
         # Lm=2. Seq0: left flank emits 2 residues, M1, M2.
@@ -49,11 +53,12 @@ class TestPathsToMsa:
         residues = np.array([[0, 1, 2, 3], [4, 5, 3, 0]])
         rows = paths_to_msa(paths, residues, model_length=2)
         assert all(len(r) == len(rows[0]) for r in rows)
-        # Seq0: "ac" before column 1, then D, E in columns.
-        assert rows[0] == "acD.E"
-        # Seq1: no left flank, F in column 1, "g" unannotated after col 1,
-        # E in column 2.
-        assert rows[1] == "..FgE"
+        A = AMINO_ALPHABET
+        # Seq0: two lowercase flank residues before column 1, then columns.
+        assert rows[0] == f"{A[0].lower()}{A[1].lower()}{A[2]}.{A[3]}"
+        # Seq1: no left flank, match in column 1, one lowercase unannotated
+        # residue anchored after column 1, match in column 2.
+        assert rows[1] == f"..{A[4]}{A[5].lower()}{A[3]}"
 
     def test_seq_lengths_and_padding_ignored(self):
         s = states(2)
@@ -62,7 +67,37 @@ class TestPathsToMsa:
         rows = paths_to_msa(
             paths, residues, model_length=2, seq_lengths=np.array([2])
         )
-        assert rows == ["AC"]
+        assert rows == [AMINO_ALPHABET[0] + AMINO_ALPHABET[1]]
+
+    def test_alphabet_matches_encoder(self):
+        """argmax of data.encode_protein output must decode back to the
+        original letter through the default MSA alphabet (regression: an
+        alphabetical AMINO_ALPHABET printed wrong residues for encoder-
+        produced indices)."""
+        from hmm_layer_tpu.data import encode_protein
+
+        seq = "ARNDCQEGHILKMFPSTWYV"
+        idx = np.argmax(encode_protein(seq, add_terminal=False), axis=-1)
+        assert "".join(AMINO_ALPHABET[i] for i in idx) == seq
+
+    def test_multihit_reentry_keeps_sequence_order(self):
+        """Insert residues emitted during a multi-hit re-entry (I_k with
+        k < last column reached) anchor after the last column so the row
+        reads in emission order."""
+        s = states(3)
+        paths = np.array([[s["M"][3], s["U"], s["M"][1], s["I"][1]]])
+        residues = np.array([[0, 1, 2, 3]])
+        rows = paths_to_msa(paths, residues, model_length=3)
+        A = AMINO_ALPHABET
+        assert rows == [
+            "--" + A[0] + A[1].lower() + A[2].lower() + A[3].lower()
+        ]
+
+    def test_empty_batch(self):
+        rows = paths_to_msa(
+            np.zeros((0, 5), np.int32), np.zeros((0, 5), np.int32), 3
+        )
+        assert rows == []
 
     def test_shape_mismatch_raises(self):
         with pytest.raises(ValueError):

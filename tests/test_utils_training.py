@@ -350,3 +350,48 @@ class TestResilience:
                 max_retries=2, backoff_s=0.01
             )
         assert len(calls) == 3
+
+
+class TestCheckpointSuffixNormalization:
+    def test_metadata_found_regardless_of_suffix(self, tmp_path):
+        """np.savez appends .npz when absent; the metadata sidecar must be
+        found whether the caller passes the suffix-less save path or the
+        actual on-disk .npz filename (regression: load_metadata('x.npz')
+        probed 'x.npz.meta.json' and silently returned {})."""
+        from hmm_layer_tpu.utils import checkpoint as ckpt
+
+        params = {"w": jnp.ones((3,))}
+        base = str(tmp_path / "ck")
+        ckpt.save_checkpoint(base, params, step=5)
+        assert ckpt.load_metadata(base)["step"] == 5
+        assert ckpt.load_metadata(base + ".npz")["step"] == 5
+        restored = ckpt.load_checkpoint(base + ".npz", params)
+        np.testing.assert_allclose(jax.tree.leaves(restored)[0], 1.0)
+
+
+class TestTrainableMasks:
+    def test_gene_pred_trainable_emissions_false_freezes_kernel(self):
+        """Regression: SimpleGenePredEmissions stored trainable_emissions
+        but exposed no trainable_mask, so the kernel always trained."""
+        from hmm_layer_tpu.models import SimpleGenePredEmissions
+        from hmm_layer_tpu.training import make_frozen_mask
+        from hmm_layer_tpu import HMMLayer
+        from hmm_layer_tpu.models import SimpleGenePredTransitions
+
+        em = SimpleGenePredEmissions(trainable_emissions=False)
+        layer = HMMLayer(SimpleGenePredTransitions(), em, use_prior=False)
+        params = layer.init_params(jax.random.PRNGKey(0), input_dim=7)
+        mask = make_frozen_mask(layer, params)
+        assert mask["emissions"][0]["emission_kernel"] is False
+
+    def test_profile_frozen_kernel_alias_names(self):
+        """frozen_kernels may name ANY member of a shared-kernel group
+        (regression: only the canonical name froze the shared kernel)."""
+        from hmm_layer_tpu.models import ProfileTransitions
+
+        for name in ("left_flank_loop", "right_flank_loop"):
+            trans = ProfileTransitions([4], frozen_kernels={name: True})
+            params = trans.init_params(jax.random.PRNGKey(0))
+            mask = trans.trainable_mask(params)
+            assert mask["kernels"][0]["right_flank_loop"] is False, name
+            assert mask["kernels"][0]["match_to_match"] is True
