@@ -158,10 +158,13 @@ def main():
             best = (pf, sps)
 
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "benchmarks")
+    # The headline vs_baseline must pair the e2e VALUE with the e2e
+    # baseline only — falling back to the decode-only ratio would silently
+    # compare mismatched measurements.
     vs_baseline = None
-    for name, sps in (
-        ("baseline_cpu.json", best_decode[1]),
-        ("baseline_cpu_e2e.json", best[1]),
+    for name, sps, is_headline in (
+        ("baseline_cpu.json", best_decode[1], False),
+        ("baseline_cpu_e2e.json", best[1], True),
     ):
         path = os.path.join(bench_dir, name)
         if os.path.exists(path):
@@ -172,7 +175,8 @@ def main():
                 f"{name}: {baseline['seqs_per_sec']:.1f} seqs/sec -> "
                 f"speedup {ratio:.1f}x"
             )
-            vs_baseline = ratio  # e2e (last) wins the headline
+            if is_headline:
+                vs_baseline = ratio
 
     print(
         json.dumps(

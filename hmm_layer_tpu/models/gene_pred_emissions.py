@@ -28,6 +28,7 @@ from __future__ import annotations
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..ops.kmer import encode_kmer_string, make_k_mers
 from .emission_utils import apply_end_hints
@@ -170,7 +171,9 @@ class SimpleGenePredEmissions:
         if self.emit_embeddings:
             class_inputs = inputs[..., : -self.embedding_dim]
             embedding_inputs = inputs[..., -self.embedding_dim :]
-            emit = jnp.einsum("mbls,mqs->mblq", class_inputs, B)
+            emit = jnp.einsum(
+                "mbls,mqs->mblq", class_inputs, B, precision=lax.Precision.HIGHEST
+            )
             flat = embedding_inputs.reshape(1, -1, self.embedding_dim)
             log_pdf = self.mvn.log_pdf(params["embedding_emission_kernel"], flat)
             log_pdf = log_pdf.reshape(emit.shape)
@@ -180,7 +183,9 @@ class SimpleGenePredEmissions:
                 embedding_emit = embedding_emit + 1e-10
             emit = emit * embedding_emit
         else:
-            emit = jnp.einsum("mbls,mqs->mblq", inputs, B)
+            emit = jnp.einsum(
+                "mbls,mqs->mblq", inputs, B, precision=lax.Precision.HIGHEST
+            )
         emit = self._expand_shared_introns(emit)
         return self._apply_end_hints(emit, end_hints)
 
@@ -330,7 +335,9 @@ class GenePredEmissions(SimpleGenePredEmissions):
         if self.trainable_nucleotides_at_exons:
             nuc_no_n = nucleotides[..., :4] + nucleotides[..., 4:] / 4.0
             nuc_probs = jax.nn.softmax(params["nuc_emission_kernel"], axis=-1)
-            exon_factor = jnp.einsum("mbls,mqs->mblq", nuc_no_n, nuc_probs)
+            exon_factor = jnp.einsum(
+                "mbls,mqs->mblq", nuc_no_n, nuc_probs, precision=lax.Precision.HIGHEST
+            )
             c = self.num_copies
             pre = jnp.full(
                 full_emission.shape[:-1] + (1 + 3 * c,), 0.25, full_emission.dtype

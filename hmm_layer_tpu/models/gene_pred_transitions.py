@@ -239,14 +239,32 @@ class GenePredTransitions(SimpleGenePredTransitions):
             )
         return params
 
+    def _prior_alpha(self) -> np.ndarray:
+        """Dirichlet concentration anchored at the length-geometry init.
+
+        Normally stashed by :meth:`init_params`; computed lazily with a
+        fixed key otherwise, so restoring trained params from a checkpoint
+        (no init_params call on the new instance) still has a prior.
+        """
+        if not hasattr(self, "_alpha"):
+            self._alpha = np.asarray(
+                self.make_prior_alpha(jax.random.PRNGKey(0))
+            )
+        return self._alpha
+
     def prior_log_density(self, params) -> jax.Array:
         if not self.use_experimental_prior:
             return jnp.zeros((self.num_models,), jnp.float32)
         A = self.make_A(params)[0]
         binary = self.gather_binary_probs(A)
         log_p = jnp.log(jnp.maximum(binary, 1e-16))
-        pri = jnp.sum((jnp.asarray(self._alpha) - 1.0) * log_p)
+        pri = jnp.sum((jnp.asarray(self._prior_alpha()) - 1.0) * log_p)
         return jnp.full((self.num_models,), pri, jnp.float32)
+
+    def get_config(self) -> dict:
+        config = super().get_config()
+        config["use_experimental_prior"] = self.use_experimental_prior
+        return config
 
 
 class GenePredMultiTransitions(GenePredTransitions):

@@ -71,8 +71,12 @@ def entry_init():
 
     def init(key, shape, dtype=jnp.float32):
         p0 = jnp.zeros((1,) + tuple(shape[1:]), dtype)
+        # max(..., 1) guards the degenerate length-1 profile (no remaining
+        # entries to spread mass over) — same guard as match_transition_init.
         rest = jnp.full(
-            (shape[0] - 1,) + tuple(shape[1:]), np.log(1.0 / (shape[0] - 1)), dtype
+            (shape[0] - 1,) + tuple(shape[1:]),
+            np.log(1.0 / max(shape[0] - 1, 1)),
+            dtype,
         )
         return jnp.concatenate([p0, rest], axis=0)
 
@@ -84,7 +88,7 @@ def exit_init():
     (``Initializers.py:222-249``)."""
 
     def init(key, shape, dtype=jnp.float32):
-        return jnp.full(shape, np.log(0.5 / (shape[0] - 1)), dtype)
+        return jnp.full(shape, np.log(0.5 / max(shape[0] - 1, 1)), dtype)
 
     return init
 

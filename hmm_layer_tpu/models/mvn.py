@@ -70,6 +70,11 @@ class MvnMixture:
         return jnp.matmul(tril, jnp.swapaxes(tril, -1, -2))
 
     def mixture_coefficients(self, mixture_kernel):
+        if mixture_kernel is None:
+            raise ValueError(
+                "mixture_kernel is required for multi-component mixtures "
+                "(kernel has more than one component)"
+            )
         return jax.nn.softmax(mixture_kernel, axis=-1)
 
     def component_log_pdf(self, kernel, inputs):

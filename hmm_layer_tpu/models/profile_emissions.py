@@ -28,6 +28,7 @@ import enum
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from .emission_utils import apply_end_hints
 from .priors import AminoAcidPrior
@@ -158,7 +159,9 @@ class ProfileEmissions:
         (m, ..., q_max)."""
         B = self.make_B(params)
         s_in = inputs.shape[-1]
-        emit = jnp.einsum("mbls,mqs->mblq", inputs, B[..., :s_in])
+        emit = jnp.einsum(
+            "mbls,mqs->mblq", inputs, B[..., :s_in], precision=lax.Precision.HIGHEST
+        )
         return apply_end_hints(emit, end_hints)
 
     def prior_log_density(self, params):

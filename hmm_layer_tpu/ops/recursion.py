@@ -456,11 +456,7 @@ def _pallas_chunk_inputs(E, P):
     R = b * P
     R_pad = pallas_viterbi.pad_chunk_elements(R)
     # (m, bP, c, q) -> (m, c, q, R): states on sublanes, chunk elems on lanes.
-    E_T = jnp.moveaxis(_clamped(Ec), 1, -1)
-    if R_pad != R:
-        E_T = jnp.pad(
-            E_T, ((0, 0), (0, 0), (0, 0), (0, R_pad - R)), constant_values=1.0
-        )
+    E_T = _pad_lanes(jnp.moveaxis(_clamped(Ec), 1, -1), R_pad, value=1.0)
     return E_T, c, R, R_pad
 
 
@@ -1249,13 +1245,7 @@ def _viterbi_chunked(init, A, E, parallel_factor):
         interpret = pallas_viterbi.FORCE_INTERPRET
         R = b * P
         R_pad = pallas_viterbi.pad_chunk_elements(R)
-        E_T = jnp.moveaxis(Ec, 1, -1)  # (m, c, q, R)
-        if R_pad != R:
-            E_T = jnp.pad(
-                E_T,
-                ((0, 0), (0, 0), (0, 0), (0, R_pad - R)),
-                constant_values=_NEG,
-            )
+        E_T = _pad_lanes(jnp.moveaxis(Ec, 1, -1), R_pad, value=_NEG)
         C_T_flat = jax.vmap(
             lambda A1, E1: pallas_viterbi.maxplus_chunk_summaries(
                 A1, E1, P, interpret=interpret
@@ -1397,7 +1387,12 @@ def _boundary_backtrace(T, C_T, j_last=None):
         T_prev, C_T_next = xs
         # row j_next of C_next, i.e. C_next[i, j_next] over i.
         onehot = jax.nn.one_hot(j_next, q, dtype=C_T_next.dtype)
-        row = jnp.einsum("mbji,mbj->mbi", C_T_next, onehot)
+        # precision: an MXU-lowered one-hot select would round the scores
+        # to bf16 (~nat-scale errors at |C| ~ hundreds of nats) and corrupt
+        # the argmax — same rule as every DP matmul in this module.
+        row = jnp.einsum(
+            "mbji,mbj->mbi", C_T_next, onehot, precision=_PRECISION
+        )
         j_prev = jnp.argmax(T_prev + row, axis=-1).astype(jnp.int32)
         return j_prev, j_prev
 
@@ -1440,7 +1435,9 @@ def _conditional_viterbi_starts(first_start_log, log_A, j_end):
     P, m, b = j_end.shape
     q = log_A.shape[-1]
     onehot_prev = jax.nn.one_hot(j_end[:-1], q, dtype=log_A.dtype)
-    r_later = jnp.einsum("pmbi,miq->pmbq", onehot_prev, log_A)  # A[j_end, :]
+    r_later = jnp.einsum(
+        "pmbi,miq->pmbq", onehot_prev, log_A, precision=_PRECISION
+    )  # A[j_end, :]
     r0 = jnp.moveaxis(
         jnp.concatenate([first_start_log[None], r_later], axis=0), 0, 2
     ).reshape(m, b * P, q)
@@ -1474,7 +1471,9 @@ def _viterbi_outputs(first_start_log, log_A, Et, j_end, m, b, L, q, P):
     # -- within-chunk backtrace ------------------------------------------------
     def backstep(state, delta_prev):
         onehot = jax.nn.one_hot(state, q, dtype=delta_prev.dtype)
-        acol = jnp.einsum("miq,mbq->mbi", log_A, onehot)  # A[:, state]
+        acol = jnp.einsum(
+            "miq,mbq->mbi", log_A, onehot, precision=_PRECISION
+        )  # A[:, state]
         prev = jnp.argmax(delta_prev + acol, axis=-1).astype(jnp.int32)
         return prev, prev
 

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .recursion import _PRECISION
 from .recursion import (
     _chunk_summaries_dispatch,
     _clamped,
@@ -129,7 +130,7 @@ def _sample_backward_seq(la, log_A, key, S):
     def step(s_next, inp):
         la_tm, g_t = inp
         oh = jax.nn.one_hot(s_next, q, dtype=la.dtype)  # (m, b, S, j)
-        w = jnp.einsum("mbsj,mij->mbsi", oh, log_A)
+        w = jnp.einsum("mbsj,mij->mbsi", oh, log_A, precision=_PRECISION)
         s = _gumbel_argmax(la_tm[:, :, None, :] + w, g_t)
         return s, s
 
@@ -162,7 +163,9 @@ def _sample_backward_chunked(init, A, E, log_A, key, S, P):
     def bstep(s_next, inp):
         T_p, C_p1, g_p = inp
         oh = jax.nn.one_hot(s_next, q, dtype=E.dtype)
-        w = jnp.einsum("mbsj,mbij->mbsi", oh, C_p1)
+        w = jnp.einsum(
+            "mbsj,mbij->mbsi", oh, C_p1, precision=_PRECISION
+        )
         s = _gumbel_argmax(T_p[:, :, None, :] + w, g_p)
         return s, s
 
@@ -179,7 +182,9 @@ def _sample_backward_chunked(init, A, E, log_A, key, S, P):
     oh_l = jax.nn.one_hot(
         jnp.moveaxis(s_bounds[:-1], 0, 2), q, dtype=E.dtype
     )  # (m, b, P-1, S, j) — left border of chunks 1..P-1
-    start_rest = jnp.einsum("mbpsj,mji->mbpsi", oh_l, log_A)
+    start_rest = jnp.einsum(
+        "mbpsj,mji->mbpsi", oh_l, log_A, precision=_PRECISION
+    )
     start0 = jnp.broadcast_to(
         jnp.log(_clamped(init))[:, None, None, None, :], (m, b, 1, S, q)
     )
@@ -206,7 +211,9 @@ def _sample_backward_chunked(init, A, E, log_A, key, S, P):
     def wstep(s_next, inp):
         la_t, g_t = inp  # (m, b, P, S, q)
         oh = jax.nn.one_hot(s_next, q, dtype=E.dtype)
-        w = jnp.einsum("mbpsj,mij->mbpsi", oh, log_A)
+        w = jnp.einsum(
+            "mbpsj,mij->mbpsi", oh, log_A, precision=_PRECISION
+        )
         s = _gumbel_argmax(la_t + w, g_t)
         return s, s
 

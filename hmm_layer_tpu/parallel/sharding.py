@@ -1210,7 +1210,9 @@ def seq_sharded_viterbi(
         j_dev[n_seq - 1] = jnp.argmax(v_ends[-1], axis=-1).astype(jnp.int32)
         for d in range(n_seq - 1, 0, -1):
             onehot = jax.nn.one_hot(j_dev[d], q, dtype=blocks_T.dtype)
-            row = jnp.einsum("mbji,mbj->mbi", blocks_T[d], onehot)
+            row = jnp.einsum(
+                "mbji,mbj->mbi", blocks_T[d], onehot, precision=_PRECISION
+            )
             j_dev[d - 1] = jnp.argmax(v_ends[d - 1] + row, axis=-1).astype(
                 jnp.int32
             )
@@ -1239,7 +1241,10 @@ def seq_sharded_viterbi(
         T = _viterbi_boundaries(v_start, C_T)
         j_end = _boundary_backtrace(T, C_T, j_last=j_exit)
         enter_row = jnp.einsum(
-            "miq,mbi->mbq", log_A, jax.nn.one_hot(j_enter, q, dtype=log_A.dtype)
+            "miq,mbi->mbq",
+            log_A,
+            jax.nn.one_hot(j_enter, q, dtype=log_A.dtype),
+            precision=_PRECISION,
         )  # A[j_enter, :]
         first_start = jnp.where(idx == 0, log_init_b, enter_row)
         return _viterbi_outputs(

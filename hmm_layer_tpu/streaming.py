@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .ops.recursion import _chunk_summaries_dispatch, _clamped
+from .ops.recursion import _PRECISION, _chunk_summaries_dispatch, _clamped
 from .ops.semiring import logmatmul, maxargmatvec
 
 __all__ = [
@@ -149,7 +149,9 @@ def _viterbi_window_decode(log_init, log_A, start_onehot, started, log_E_win):
     """
     m, b, W, q = log_E_win.shape
     Et = jnp.moveaxis(log_E_win, 2, 0)  # (W, m, b, q)
-    seam_row = jnp.einsum("mbi,miq->mbq", start_onehot, log_A)
+    seam_row = jnp.einsum(
+        "mbi,miq->mbq", start_onehot, log_A, precision=_PRECISION
+    )
     start = jnp.where(started, seam_row, log_init[:, None, :])
     delta0 = start + Et[0]
 
@@ -165,7 +167,9 @@ def _viterbi_window_decode(log_init, log_A, start_onehot, started, log_E_win):
 
     def backstep(state, delta_prev):
         onehot = jax.nn.one_hot(state, q, dtype=delta_prev.dtype)
-        acol = jnp.einsum("miq,mbq->mbi", log_A, onehot)  # A[:, state]
+        acol = jnp.einsum(
+            "miq,mbq->mbi", log_A, onehot, precision=_PRECISION
+        )  # A[:, state]
         prev = jnp.argmax(delta_prev + acol, axis=-1).astype(jnp.int32)
         return prev, prev
 
