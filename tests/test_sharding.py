@@ -711,3 +711,59 @@ class TestStateShardedGradients:
         np.testing.assert_allclose(
             np.asarray(g) / scale, np.asarray(g_ref) / scale, atol=5e-4
         )
+
+
+class TestShardedEdgeShapes:
+    """m > 1 and b = 1 through every sharded path (the other tests mostly
+    stack to m=1): posterior/loglik parity and Viterbi score parity."""
+
+    def test_multi_model_single_sequence(self):
+        rng = np.random.default_rng(0)
+        m, q, b, L = 2, 8, 1, 24
+        init = jnp.asarray(rng.dirichlet(np.ones(q), size=m).astype(np.float32))
+        A = jnp.asarray(rng.dirichlet(np.ones(q), size=(m, q)).astype(np.float32))
+        E = jnp.asarray(
+            rng.uniform(0.05, 1.0, size=(m, b, L, q)).astype(np.float32)
+        )
+        lgd, lld = recursion.posterior(init, A, E, 4)
+        pd = recursion.viterbi(init, A, E, 1)
+
+        lgA = np.log(np.maximum(np.asarray(A), 1e-16))
+        lgE = np.log(np.maximum(np.asarray(E), 1e-16))
+        lgI = np.log(np.maximum(np.asarray(init), 1e-16))
+
+        def score(paths):
+            s, p = 0.0, np.asarray(paths)
+            for mi in range(m):
+                for bi in range(b):
+                    s += lgI[mi, p[mi, bi, 0]] + lgE[mi, bi, 0, p[mi, bi, 0]]
+                    for t in range(1, L):
+                        s += (
+                            lgA[mi, p[mi, bi, t - 1], p[mi, bi, t]]
+                            + lgE[mi, bi, t, p[mi, bi, t]]
+                        )
+            return s
+
+        mesh_s = sharding.make_mesh({"state": 4})
+        lg, _ = sharding.state_sharded_posterior(
+            init, A, E, mesh_s, parallel_factor=4
+        )
+        np.testing.assert_allclose(
+            np.asarray(lg), np.asarray(lgd), atol=3e-4
+        )
+        pv = sharding.state_sharded_viterbi(init, A, E, mesh_s)
+        assert abs(score(pv) - score(pd)) < 1e-3
+
+        mesh_q = sharding.make_mesh({"seq": 4})
+        lg2, _ = sharding.seq_sharded_posterior(
+            init, A, E, mesh_q, local_parallel_factor=2
+        )
+        np.testing.assert_allclose(
+            np.asarray(lg2), np.asarray(lgd), atol=3e-4
+        )
+        pv2 = sharding.seq_sharded_viterbi(init, A, E, mesh_q)
+        assert abs(score(pv2) - score(pd)) < 1e-3
+        ll3 = sharding.seq_sharded_log_likelihood(init, A, E, mesh_q)
+        np.testing.assert_allclose(
+            np.asarray(ll3), np.asarray(lld), rtol=1e-4
+        )
