@@ -76,10 +76,16 @@ def expected_statistics(init, A, E, parallel_factor: int = 1):
     return gamma, xi_sum, ll
 
 
-def _m_step_init(gamma, init, pseudocount):
-    counts = jnp.sum(gamma[:, :, 0], axis=1) + pseudocount
-    counts = counts * (init > 0)
+def _m_step_init_from_counts(init_counts, init, pseudocount):
+    """Closed-form init update from (m, q) summed t=0 posterior counts."""
+    counts = (init_counts + pseudocount) * (init > 0)
     return counts / jnp.maximum(jnp.sum(counts, axis=-1, keepdims=True), EPS)
+
+
+def _m_step_init(gamma, init, pseudocount):
+    return _m_step_init_from_counts(
+        jnp.sum(gamma[:, :, 0], axis=1), init, pseudocount
+    )
 
 
 def _m_step_A(xi_sum, A, pseudocount):
@@ -122,10 +128,16 @@ def categorical_emission_m_step(gamma, x, pseudocount: float = 0.0):
     Returns:
         new_B: (m, q, s) row-stochastic emission table.
     """
-    counts = (
-        jnp.einsum("mblq,mbls->mqs", gamma, x, precision=_PRECISION)
-        + pseudocount
-    )
+    return _m_step_B_from_counts(_emission_counts(gamma, x), pseudocount)
+
+
+def _emission_counts(gamma, x):
+    """(m, q, s) expected symbol counts per state, summed over batch/time."""
+    return jnp.einsum("mblq,mbls->mqs", gamma, x, precision=_PRECISION)
+
+
+def _m_step_B_from_counts(counts, pseudocount):
+    counts = counts + pseudocount
     return counts / jnp.maximum(jnp.sum(counts, axis=-1, keepdims=True), EPS)
 
 

@@ -1,6 +1,8 @@
 """Multi-device sharding: data / sequence / state parallelism over meshes."""
 
 from .sharding import (
+    data_parallel_em_step,
+    data_parallel_em_step_categorical,
     data_parallel_fn,
     init_distributed,
     make_mesh,
@@ -20,6 +22,8 @@ __all__ = [
     "shard_batch",
     "replicate",
     "data_parallel_fn",
+    "data_parallel_em_step",
+    "data_parallel_em_step_categorical",
     "state_sharded_log_likelihood",
     "state_sharded_posterior",
     "state_sharded_viterbi",

@@ -61,6 +61,8 @@ __all__ = [
     "shard_batch",
     "replicate",
     "data_parallel_fn",
+    "data_parallel_em_step",
+    "data_parallel_em_step_categorical",
     "state_sharded_log_likelihood",
     "state_sharded_posterior",
     "state_sharded_viterbi",
@@ -1252,3 +1254,137 @@ def seq_sharded_viterbi(
         )
 
     return _vit(init, A, E)
+
+
+# ---------------------------------------------------------------------------
+# Data-parallel Baum-Welch (EM) — distributed sufficient statistics
+# ---------------------------------------------------------------------------
+
+
+def data_parallel_em_step(
+    init,
+    A,
+    E,
+    mesh: Mesh,
+    parallel_factor: int = 1,
+    pseudocount: float = 0.0,
+    data_axis: str = "data",
+):
+    """One Baum-Welch update of ``init``/``A`` with the batch sharded.
+
+    Classical distributed EM: each device runs the exact E-step
+    (:func:`hmm_layer_tpu.ops.em.expected_statistics`, chunk-parallel when
+    ``parallel_factor > 1``) on its batch shard, the sufficient statistics
+    — (m, q) t=0 posterior counts and (m, q, q) expected transition counts,
+    tiny compared to the per-device DP work — are ``psum``-reduced over
+    ``data_axis``, and the closed-form M-step is applied identically on
+    every device. Bit-for-bit the semantics of
+    :func:`hmm_layer_tpu.ops.em.em_step` on the gathered batch (up to
+    reduction order).
+
+    Args:
+        init: (m, q); A: (m, q, q); E: (m, b, L, q) with ``b`` divisible by
+            the ``data_axis`` size.
+
+    Returns:
+        (new_init (m, q), new_A (m, q, q), loglik (m, b)) — params
+        replicated, loglik batch-sharded over ``data_axis``.
+    """
+    from ..ops.em import (
+        _m_step_A,
+        _m_step_init_from_counts,
+        expected_statistics,
+    )
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(None, None),
+            P(None, None, None),
+            P(None, data_axis, None, None),
+        ),
+        out_specs=(P(None, None), P(None, None, None), P(None, data_axis)),
+        check_vma=False,
+    )
+    def _step(init_l, A_l, E_l):
+        gamma, xi_sum, ll = expected_statistics(
+            init_l, A_l, E_l, parallel_factor
+        )
+        init_counts = lax.psum(jnp.sum(gamma[:, :, 0], axis=1), data_axis)
+        xi_sum = lax.psum(xi_sum, data_axis)
+        return (
+            _m_step_init_from_counts(init_counts, init_l, pseudocount),
+            _m_step_A(xi_sum, A_l, pseudocount),
+            ll,
+        )
+
+    return _step(init, A, E)
+
+
+def data_parallel_em_step_categorical(
+    init,
+    A,
+    B,
+    x,
+    mesh: Mesh,
+    parallel_factor: int = 1,
+    pseudocount: float = 0.0,
+    data_axis: str = "data",
+):
+    """One FULL Baum-Welch step for a lookup-table HMM, batch-sharded.
+
+    Distributed counterpart of
+    :func:`hmm_layer_tpu.ops.em.em_step_categorical`: updates ``init``,
+    ``A`` AND the free categorical emission table ``B`` from one sharded
+    E-step; only the (m, q·(q + s + 1)) summed statistics cross devices.
+
+    Args:
+        init: (m, q); A: (m, q, q); B: (m, q, s); x: (m, b, L, s) one-hot
+            (or soft) symbols, ``b`` divisible by the ``data_axis`` size.
+
+    Returns:
+        (new_init, new_A, new_B, loglik) — params replicated, loglik
+        batch-sharded over ``data_axis``.
+    """
+    from ..ops.em import (
+        _emission_counts,
+        _m_step_A,
+        _m_step_B_from_counts,
+        _m_step_init_from_counts,
+        expected_statistics,
+    )
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(None, None),
+            P(None, None, None),
+            P(None, None, None),
+            P(None, data_axis, None, None),
+        ),
+        out_specs=(
+            P(None, None),
+            P(None, None, None),
+            P(None, None, None),
+            P(None, data_axis),
+        ),
+        check_vma=False,
+    )
+    def _step(init_l, A_l, B_l, x_l):
+        E_l = jnp.einsum("mbls,mqs->mblq", x_l, B_l, precision=_PRECISION)
+        gamma, xi_sum, ll = expected_statistics(
+            init_l, A_l, E_l, parallel_factor
+        )
+        init_counts = lax.psum(jnp.sum(gamma[:, :, 0], axis=1), data_axis)
+        xi_sum = lax.psum(xi_sum, data_axis)
+        b_counts = lax.psum(_emission_counts(gamma, x_l), data_axis)
+        return (
+            _m_step_init_from_counts(init_counts, init_l, pseudocount),
+            _m_step_A(xi_sum, A_l, pseudocount),
+            _m_step_B_from_counts(b_counts, pseudocount),
+            ll,
+        )
+
+    return _step(init, A, B, x)

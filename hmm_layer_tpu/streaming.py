@@ -28,7 +28,13 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .ops.recursion import _PRECISION, _chunk_summaries_dispatch, _clamped
+from .ops.recursion import (
+    _PRECISION,
+    _chunk_summaries_dispatch,
+    _clamped,
+    backward,
+    forward,
+)
 from .ops.semiring import logmatmul, maxargmatvec
 
 __all__ = [
@@ -41,6 +47,10 @@ __all__ = [
     "streaming_viterbi_init",
     "streaming_viterbi_update",
     "streaming_viterbi_finalize",
+    "StreamingSmootherState",
+    "streaming_smoother_init",
+    "streaming_smoother_update",
+    "streaming_smoother_finalize",
 ]
 
 
@@ -261,3 +271,144 @@ def streaming_viterbi_finalize(
     return _viterbi_window_decode(
         log_init, log_A, onehot, state.started, state.buf_log_E
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming fixed-lag smoothing (online posterior marginals)
+# ---------------------------------------------------------------------------
+
+
+class StreamingSmootherState(NamedTuple):
+    """Fixed-lag smoother state.
+
+    ``buf_E``: (m, b, lag, q) linear emissions of the last ``lag`` positions
+    (consumed but not yet committed). ``log_filter_seam``: (m, b, q) —
+    normalized filter ``log P(s_c | x_{1..c})`` at the last committed
+    position ``c``. ``log_lik``: (m, b) — ``log P(x_{1..c})``.
+    """
+
+    buf_E: jax.Array
+    log_filter_seam: jax.Array
+    log_lik: jax.Array
+
+
+def _pf_eff(length: int, parallel_factor: int) -> int:
+    """Chunked engine needs the factor to divide the scan length; windows of
+    awkward length fall back to the sequential recursion."""
+    return parallel_factor if length % parallel_factor == 0 else 1
+
+
+def _window_posteriors(init, A, E_win, parallel_factor):
+    """Exact forward/backward over one window.
+
+    Returns (post, la): per-position normalized posterior log-marginals
+    ``log P(s_t | window)`` (m, b, W, q) and the raw log-forward variables
+    (m, b, W, q) the caller uses for the seam filter / loglik bookkeeping.
+    """
+    pf = _pf_eff(E_win.shape[2], parallel_factor)
+    la, _ = forward(init, A, E_win, pf)
+    lb = backward(init, A, E_win, pf)
+    post = la + lb
+    post = post - jax.nn.logsumexp(post, axis=-1, keepdims=True)
+    return post, la
+
+
+def streaming_smoother_init(
+    init, A, E_block, lag: int, parallel_factor: int = 1
+) -> tuple[StreamingSmootherState, jax.Array]:
+    """Start a fixed-lag smoothing stream with the first emission block.
+
+    Online posterior decoding: position ``t`` is committed once ``lag``
+    future positions have been consumed, with marginal
+    ``log P(s_t | x_{1..t+D_t})`` where ``D_t >= lag`` (positions early in a
+    block see up to a whole block of extra context). This is the classical
+    fixed-lag smoother; the truncation error vs full smoothing decays
+    geometrically in ``lag`` at the rate the chain mixes, and the carried
+    state stays O(lag·q) per sequence regardless of stream length.
+    Complements :func:`streaming_viterbi_init` (decode) and
+    :func:`streaming_init` (filtering); no reference counterpart
+    (``MsaHMMLayer.py:253-255`` holds the whole sequence in memory).
+
+    Args:
+        init: (m, q); A: (m, q, q); E_block: (m, b, L_block, q) linear
+            emissions with ``L_block > lag >= 1``.
+        parallel_factor: within-window chunk parallelism (used whenever it
+            divides the window length, else that window runs sequentially).
+
+    Returns:
+        (state, committed (m, b, L_block - lag, q) posterior log-marginals).
+    """
+    m, b, L_block, q = E_block.shape
+    if lag < 1:
+        raise ValueError(f"lag must be >= 1, got {lag}")
+    if L_block <= lag:
+        raise ValueError(
+            f"first block length {L_block} must be > lag {lag} (the seam "
+            "filter needs at least one committed position)"
+        )
+    post, la = _window_posteriors(init, A, E_block, parallel_factor)
+    n_commit = L_block - lag
+    seam = la[:, :, n_commit - 1]
+    lse = jax.nn.logsumexp(seam, axis=-1)
+    state = StreamingSmootherState(
+        buf_E=E_block[:, :, n_commit:],
+        log_filter_seam=seam - lse[..., None],
+        log_lik=lse,
+    )
+    return state, post[:, :, :n_commit]
+
+
+def _augmented_window(state: StreamingSmootherState, E_block):
+    """Window emissions with the seam filter folded in as a pseudo-position.
+
+    Prepending ``exp(log_filter_seam)`` as an emission vector under a
+    uniform initial distribution makes the engine's recursion over the
+    window exactly the continuation of the stream: the engine applies one
+    transition between the pseudo-position and the first real position, so
+    ``alpha_t`` within the window is ``(1/q) * P(x_win_{1..t}, s_t |
+    x_{1..c})`` — the constant drops out of every normalized quantity and
+    is subtracted from the loglik bookkeeping.
+    """
+    m, b, _, q = E_block.shape
+    pseudo = jnp.exp(state.log_filter_seam)[:, :, None, :]
+    E_win = jnp.concatenate([state.buf_E, E_block], axis=2)
+    E_aug = jnp.concatenate([pseudo, E_win], axis=2)
+    uniform = jnp.full((m, q), 1.0 / q, E_block.dtype)
+    return E_aug, E_win, uniform
+
+
+def streaming_smoother_update(
+    state: StreamingSmootherState, A, E_block, parallel_factor: int = 1
+) -> tuple[StreamingSmootherState, jax.Array]:
+    """Consume the next block; returns (state, committed (m, b, L_block, q)).
+
+    Smooths the (lag + L_block) window from the seam filter and commits the
+    oldest ``L_block`` positions.
+    """
+    m, b, L_block, q = E_block.shape
+    E_aug, E_win, uniform = _augmented_window(state, E_block)
+    post, la = _window_posteriors(uniform, A, E_aug, parallel_factor)
+    seam = la[:, :, L_block]  # augmented index: window position L_block - 1
+    lse = jax.nn.logsumexp(seam, axis=-1)
+    new_state = StreamingSmootherState(
+        buf_E=E_win[:, :, L_block:],
+        log_filter_seam=seam - lse[..., None],
+        log_lik=state.log_lik + lse + jnp.log(jnp.asarray(q, lse.dtype)),
+    )
+    return new_state, post[:, :, 1 : L_block + 1]
+
+
+def streaming_smoother_finalize(
+    state: StreamingSmootherState, A, parallel_factor: int = 1
+) -> jax.Array:
+    """End the stream: commit the ``lag`` buffered positions.
+
+    The tail marginals are exact (the window ends at the stream end, so
+    there is no truncation), shape (m, b, lag, q).
+    """
+    m, b, lag, q = state.buf_E.shape
+    pseudo = jnp.exp(state.log_filter_seam)[:, :, None, :]
+    E_aug = jnp.concatenate([pseudo, state.buf_E], axis=2)
+    uniform = jnp.full((m, q), 1.0 / q, state.buf_E.dtype)
+    post, _ = _window_posteriors(uniform, A, E_aug, parallel_factor)
+    return post[:, :, 1:]

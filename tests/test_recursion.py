@@ -1001,3 +1001,68 @@ class TestEngineFuzz:
             E[0, 0].astype(np.float64),
         )
         np.testing.assert_allclose(float(ll1[0, 0]), ll_np, rtol=1e-4)
+
+
+class TestStreamingSmoother:
+    def test_committed_match_truncated_offline(self):
+        # Each committed marginal must equal the OFFLINE posterior of the
+        # sequence truncated at that commit's window end — the fixed-lag
+        # smoother is exact given its window by construction.
+        from hmm_layer_tpu import streaming
+
+        init, A, E = random_hmm(RNG, q=5, L=30, b=2)
+        ini, Aj, Ej = _stack(init, A, E)
+        lag = 4
+
+        st, c0 = streaming.streaming_smoother_init(
+            ini, Aj, Ej[:, :, :10], lag=lag
+        )
+        ref0, _ = recursion.posterior(ini, Aj, Ej[:, :, :10])
+        np.testing.assert_allclose(c0, ref0[:, :, :6], atol=2e-4)
+
+        st, c1 = streaming.streaming_smoother_update(st, Aj, Ej[:, :, 10:22])
+        ref1, _ = recursion.posterior(ini, Aj, Ej[:, :, :22])
+        np.testing.assert_allclose(c1, ref1[:, :, 6:18], atol=2e-4)
+
+        st, c2 = streaming.streaming_smoother_update(st, Aj, Ej[:, :, 22:30])
+        ref2, _ = recursion.posterior(ini, Aj, Ej)
+        np.testing.assert_allclose(c2, ref2[:, :, 18:26], atol=2e-4)
+
+        # Loglik bookkeeping tracks the committed prefix exactly.
+        ll26 = recursion.log_likelihood(ini, Aj, Ej[:, :, :26])
+        np.testing.assert_allclose(st.log_lik, ll26, rtol=1e-5, atol=1e-4)
+
+        # The finalize tail is exact full smoothing (window end == L).
+        tail = streaming.streaming_smoother_finalize(st, Aj)
+        np.testing.assert_allclose(tail, ref2[:, :, 26:30], atol=2e-4)
+
+    def test_chunked_windows_match_sequential(self):
+        from hmm_layer_tpu import streaming
+
+        init, A, E = random_hmm(RNG, q=4, L=31, b=2)
+        ini, Aj, Ej = _stack(init, A, E)
+        # lag=3, first block 16 (pf=4 divides), update 12 (augmented
+        # window 3+12+1=16, pf=4 divides) — both windows run chunked.
+        args = [(ini, Aj, Ej[:, :, :16]), (Aj, Ej[:, :, 16:28])]
+        st1, a0 = streaming.streaming_smoother_init(*args[0], lag=3)
+        st4, b0 = streaming.streaming_smoother_init(
+            *args[0], lag=3, parallel_factor=4
+        )
+        st1, a1 = streaming.streaming_smoother_update(st1, *args[1])
+        st4, b1 = streaming.streaming_smoother_update(
+            st4, *args[1], parallel_factor=4
+        )
+        t1 = streaming.streaming_smoother_finalize(st1, Aj)
+        t4 = streaming.streaming_smoother_finalize(st4, Aj, parallel_factor=4)
+        for a, b in [(a0, b0), (a1, b1), (t1, t4)]:
+            np.testing.assert_allclose(a, b, atol=2e-4)
+
+    def test_bad_lag_raises(self):
+        from hmm_layer_tpu import streaming
+
+        init, A, E = random_hmm(RNG, q=4, L=8, b=1)
+        ini, Aj, Ej = _stack(init, A, E)
+        with pytest.raises(ValueError, match="lag"):
+            streaming.streaming_smoother_init(ini, Aj, Ej, lag=0)
+        with pytest.raises(ValueError, match="must be > lag"):
+            streaming.streaming_smoother_init(ini, Aj, Ej, lag=8)

@@ -767,3 +767,54 @@ class TestShardedEdgeShapes:
         np.testing.assert_allclose(
             np.asarray(ll3), np.asarray(lld), rtol=1e-4
         )
+
+
+class TestDataParallelEM:
+    def test_em_step_matches_single_device(self):
+        from hmm_layer_tpu.ops import em
+
+        init, A, E = random_hmm(RNG, q=5, L=24, b=8)
+        ini, Aj, Ej = _stack(init, A, E)
+        mesh = sharding.make_mesh({"data": 4})
+        ref_init, ref_A, ref_ll = em.em_step(ini, Aj, Ej, parallel_factor=4)
+        new_init, new_A, ll = sharding.data_parallel_em_step(
+            jnp.asarray(ini), jnp.asarray(Aj), jnp.asarray(Ej),
+            mesh, parallel_factor=4,
+        )
+        np.testing.assert_allclose(new_init, ref_init, rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(new_A, ref_A, rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(ll, ref_ll, rtol=1e-5)
+
+    def test_em_step_categorical_matches(self):
+        from hmm_layer_tpu.ops import em
+
+        q, s, b, L = 4, 6, 8, 20
+        init, A, _ = random_hmm(RNG, q=q, L=L, b=b)
+        B = RNG.random((1, q, s)).astype(np.float32)
+        B /= B.sum(-1, keepdims=True)
+        sym = RNG.integers(0, s, size=(1, b, L))
+        x = np.eye(s, dtype=np.float32)[sym]
+        ini, Aj = init[None], A[None]
+        mesh = sharding.make_mesh({"data": 4})
+        ref = em.em_step_categorical(ini, Aj, B, x)
+        out = sharding.data_parallel_em_step_categorical(
+            jnp.asarray(ini), jnp.asarray(Aj), jnp.asarray(B),
+            jnp.asarray(x), mesh,
+        )
+        for got, want in zip(out, ref):
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+    def test_em_improves_loglik_across_devices(self):
+        from hmm_layer_tpu.ops import em
+
+        init, A, E = random_hmm(RNG, q=4, L=16, b=8)
+        ini, Aj, Ej = _stack(init, A, E)
+        mesh = sharding.make_mesh({"data": 8})
+        lls = []
+        ini_j, Aj_j = jnp.asarray(ini), jnp.asarray(Aj)
+        for _ in range(3):
+            ini_j, Aj_j, ll = sharding.data_parallel_em_step(
+                ini_j, Aj_j, jnp.asarray(Ej), mesh
+            )
+            lls.append(float(jnp.sum(ll)))
+        assert lls[1] >= lls[0] - 1e-4 and lls[2] >= lls[1] - 1e-4
