@@ -65,13 +65,12 @@ _PRECISION = lax.Precision.HIGHEST
 _TPU_BACKENDS = ("tpu", "axon")
 
 # Unroll factor for the sequential (parallel_factor == 1) per-timestep scans.
-# The large-q regime that routes to them (profile-HMM training: m=5, q<=155,
-# L=400) is scan-latency-bound — each step's (m,b,q)@(m,q,q) matmul is ~1 us
-# of MXU work inside ~8 us of loop overhead — so unrolling trades iteration
-# overhead for code size. TPU-only: CPU keeps unroll=1 so the test-suite
-# compile cache stays valid and compile times stay sane. Default 1 (opt-in
-# via HMM_SEQ_UNROLL=4) until measured on hardware — staged while the axon
-# backend is down.
+# MEASURED NEGATIVE (TPU v5e, profile-HMM train step m=5 q<=155 b=64 L=400):
+# HMM_SEQ_UNROLL=4 gives 11.2 ms/step vs 10.1 at unroll=1 — the scans are NOT
+# loop-management-bound; the per-step cost is the dependent matmul chain
+# itself (f32 HIGHEST = 6 MXU passes over q padded to 256 lanes), which
+# unrolling only duplicates. Knob kept (default 1) for future shapes/chips;
+# TPU-only so the CPU test-suite compile cache stays valid.
 _SEQ_UNROLL_TPU = int(os.environ.get("HMM_SEQ_UNROLL", "1"))
 
 
