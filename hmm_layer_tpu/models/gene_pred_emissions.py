@@ -163,7 +163,11 @@ class SimpleGenePredEmissions:
         Args:
             inputs: (m, b, L, s) class predictions, plus ``embedding_dim``
                 trailing channels when ``emit_embeddings``.
-            end_hints: optional (m, b, 2, num_states) border-state masks.
+            end_hints: optional border-state masks — (m, b, 2, num_states)
+                for the whole-sequence ends, or (m, b, P, 2, num_states)
+                to clamp the borders of every chunk of a
+                ``parallel_factor=P`` run (see
+                :func:`~hmm_layer_tpu.models.emission_utils.apply_end_hints`).
         Returns:
             (m, b, L, num_states) linear-space probabilities.
         """

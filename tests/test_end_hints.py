@@ -1,0 +1,146 @@
+"""Per-chunk ``end_hints`` (chunk-border emission clamping).
+
+The reference masks the border states of EVERY chunk when
+``parallel_factor > 1`` (``gene_pred_hmm_emitter.py:117-120`` on the
+chunk-reshaped ``(m, b·P, L/P, q)`` emissions, threaded via
+``MsaHMMLayer.py:104``). Here the equivalent is a 5D
+``(m, b, P, 2, q)`` hint tensor applied to the un-chunked emissions
+(:func:`hmm_layer_tpu.models.emission_utils.apply_end_hints`); these tests
+pin parity against a dense NumPy masking oracle at P ∈ {1, 3, 9},
+differentiability, and both model families.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hmm_layer_tpu.layer import HMMLayer
+from hmm_layer_tpu.models import (
+    ProfileEmissions,
+    SimpleGenePredEmissions,
+    SimpleGenePredTransitions,
+)
+from hmm_layer_tpu.models.emission_utils import apply_end_hints
+from hmm_layer_tpu.ops import recursion
+
+KEY = jax.random.PRNGKey(0)
+
+
+def mask_oracle(emit, hints):
+    """Dense NumPy reference: mask each chunk's first/last position."""
+    emit = np.array(emit)
+    hints = np.asarray(hints)
+    m, b, L, q = emit.shape
+    P = hints.shape[2]
+    c = L // P
+    for p in range(P):
+        emit[:, :, p * c, :] *= hints[:, :, p, 0, :]
+        emit[:, :, (p + 1) * c - 1, :] *= hints[:, :, p, 1, :]
+    return emit
+
+
+class TestApplyEndHints:
+    @pytest.mark.parametrize("P", [1, 3, 9])
+    def test_per_chunk_parity_vs_oracle(self, P):
+        rng = np.random.default_rng(P)
+        emit = jnp.asarray(rng.uniform(0.1, 1.0, (2, 3, 18, 5)).astype(np.float32))
+        hints = jnp.asarray(rng.uniform(0.0, 1.0, (2, 3, P, 2, 5)).astype(np.float32))
+        out = np.asarray(apply_end_hints(emit, hints))
+        np.testing.assert_allclose(out, mask_oracle(emit, hints), rtol=1e-6)
+
+    def test_sequence_level_unchanged(self):
+        rng = np.random.default_rng(0)
+        emit = jnp.asarray(rng.uniform(0.1, 1.0, (1, 2, 6, 4)).astype(np.float32))
+        hints = jnp.asarray(rng.uniform(size=(1, 2, 2, 4)).astype(np.float32))
+        out = np.asarray(apply_end_hints(emit, hints))
+        # 4D hints == 5D hints with P=1.
+        out5 = np.asarray(apply_end_hints(emit, hints[:, :, None]))
+        np.testing.assert_allclose(out, out5, rtol=1e-6)
+
+    def test_errors(self):
+        emit = jnp.ones((1, 2, 6, 4))
+        with pytest.raises(ValueError, match="does not divide"):
+            apply_end_hints(emit, jnp.ones((1, 2, 4, 2, 4)))
+        with pytest.raises(ValueError, match=">= 2 positions"):
+            apply_end_hints(emit, jnp.ones((1, 2, 6, 2, 4)))
+        with pytest.raises(ValueError, match="sequence-level"):
+            apply_end_hints(emit, jnp.ones((1, 2, 3, 4)))
+
+
+class TestGenePredChunkHints:
+    def _setup(self, P, L=18, b=3):
+        em = SimpleGenePredEmissions()
+        params = em.init_params(KEY, input_dim=7)
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.uniform(0.1, 1.0, (1, b, L, 7)).astype(np.float32))
+        hints = jnp.asarray(
+            rng.uniform(0.2, 1.0, (1, b, P, 2, 7)).astype(np.float32)
+        )
+        return em, params, x, hints
+
+    @pytest.mark.parametrize("P", [1, 3, 9])
+    def test_emitter_parity(self, P):
+        em, params, x, hints = self._setup(P)
+        unmasked = em.emissions(params, x)
+        masked = np.asarray(em.emissions(params, x, end_hints=hints))
+        np.testing.assert_allclose(
+            masked, mask_oracle(unmasked, hints), rtol=1e-6
+        )
+
+    def test_layer_posterior_parity(self):
+        """Hints through the layer == recursion on an oracle-masked E."""
+        P = 3
+        em, eparams, x, hints = self._setup(P)
+        layer = HMMLayer(
+            SimpleGenePredTransitions(), em, use_prior=False, parallel_factor=P
+        )
+        params = {
+            "transitions": layer.transitions.init_params(KEY),
+            "emissions": [eparams],
+        }
+        lg = layer.state_posterior_log_probs(params, x, end_hints=hints)
+        init, A = layer.transitions.matrices(params["transitions"])
+        E_masked = jnp.asarray(mask_oracle(em.emissions(eparams, x), hints))
+        lg_ref, _ = recursion.posterior(init, A, E_masked, P)
+        np.testing.assert_allclose(
+            np.asarray(lg), np.asarray(lg_ref), rtol=2e-5, atol=2e-5
+        )
+
+    def test_differentiable(self):
+        P = 3
+        em, eparams, x, hints = self._setup(P)
+        layer = HMMLayer(
+            SimpleGenePredTransitions(), em, use_prior=False, parallel_factor=P
+        )
+        params = {
+            "transitions": layer.transitions.init_params(KEY),
+            "emissions": [eparams],
+        }
+
+        def loss(p, h):
+            return -jnp.mean(layer.log_likelihood(p, x, end_hints=h))
+
+        g_params, g_hints = jax.grad(loss, argnums=(0, 1))(params, hints)
+        leaves = jax.tree.leaves(g_params) + [g_hints]
+        assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+        assert np.any(np.asarray(g_hints) != 0)
+
+
+class TestProfileChunkHints:
+    @pytest.mark.parametrize("P", [1, 3])
+    def test_emitter_parity(self, P):
+        em = ProfileEmissions(4)  # q = 2*4+3 = 11
+        params = em.init_params(KEY, input_dim=25)
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.dirichlet(np.ones(25), (1, 2, 12)).astype(np.float32))
+        q = 11
+        hints = jnp.asarray(
+            rng.uniform(0.2, 1.0, (1, 2, P, 2, q)).astype(np.float32)
+        )
+        unmasked = em.emissions(params, x)
+        masked = np.asarray(em.emissions(params, x, end_hints=hints))
+        np.testing.assert_allclose(
+            masked, mask_oracle(unmasked, hints), rtol=1e-6
+        )
