@@ -44,7 +44,24 @@ class HMMLayer:
             (must divide the sequence length), or ``"auto"`` to pick the
             measured-optimal factor per call from the input shape
             (:func:`hmm_layer_tpu.ops.recursion.recommended_parallel_factor`).
+            Under sequence sharding it is the *device-local* factor
+            (applied to ``L / mesh.shape[seq_axis]``).
+        mesh: optional :class:`jax.sharding.Mesh`; with ``partition`` it
+            routes :meth:`loss` / :meth:`log_likelihood` /
+            :meth:`state_posterior_log_probs` / :meth:`viterbi` through the
+            distributed engine (:mod:`hmm_layer_tpu.parallel.sharding`) —
+            the one-stop role of the reference's ``MsaHmmLayer``
+            (``MsaHMMLayer.py:180-208``) extended to multi-chip.
+        partition: maps logical axes to mesh axis names, e.g.
+            ``{"batch": "data"}`` (data parallel),
+            ``{"batch": "data", "seq": "seq"}`` (genome-length sequences;
+            requires ``L`` divisible by the seq-axis size) or
+            ``{"batch": "data", "state": "state"}`` (500+-state models;
+            requires ``q`` divisible by the state-axis size). ``"seq"``
+            and ``"state"`` are mutually exclusive.
     """
+
+    _LOGICAL_AXES = ("batch", "seq", "state")
 
     def __init__(
         self,
@@ -54,6 +71,8 @@ class HMMLayer:
         use_prior: bool = True,
         sequence_weights=None,
         parallel_factor: int | str = 1,
+        mesh=None,
+        partition: dict | None = None,
     ):
         self.transitions = transitions
         self.emissions = emissions if isinstance(emissions, list) else [emissions]
@@ -63,12 +82,139 @@ class HMMLayer:
             None if sequence_weights is None else jnp.asarray(sequence_weights)
         )
         self.parallel_factor = parallel_factor
+        self.mesh = mesh
+        self.partition = dict(partition) if partition else {}
+        if self.partition and mesh is None:
+            raise ValueError("`partition` given without a `mesh`")
+        unknown = set(self.partition) - set(self._LOGICAL_AXES)
+        if unknown:
+            raise ValueError(
+                f"unknown partition axes {sorted(unknown)}; valid: "
+                f"{self._LOGICAL_AXES}"
+            )
+        if "seq" in self.partition and "state" in self.partition:
+            raise NotImplementedError(
+                "combined sequence+state sharding is not supported; pick "
+                "one (either combines with 'batch')"
+            )
+        if mesh is not None:
+            for logical, name in self.partition.items():
+                if name not in mesh.shape:
+                    raise ValueError(
+                        f"partition {logical!r} -> {name!r} is not an axis "
+                        f"of the mesh (axes: {dict(mesh.shape)})"
+                    )
 
     def _pf(self, E, for_viterbi: bool = False) -> int:
+        L = E.shape[2]
+        if self._route() == "seq":
+            # parallel_factor is device-local under sequence sharding.
+            L = L // self.mesh.shape[self.partition["seq"]]
         if self.parallel_factor == "auto":
-            m, b, L, q = E.shape
+            m, b, _, q = E.shape
             return recursion.recommended_parallel_factor(L, q, m, for_viterbi)
         return self.parallel_factor
+
+    # -- distributed routing ----------------------------------------------------
+
+    def _route(self) -> str:
+        if self.mesh is None:
+            return "dense"
+        if "state" in self.partition:
+            return "state"
+        if "seq" in self.partition:
+            return "seq"
+        if "batch" in self.partition:
+            return "data"
+        return "dense"
+
+    def _constrain_data(self, E):
+        """Pin the batch axis of E to its mesh axis (data-parallel route)."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        spec = [None] * E.ndim
+        spec[1] = self.partition["batch"]
+        return jax.lax.with_sharding_constraint(
+            E, NamedSharding(self.mesh, PartitionSpec(*spec))
+        )
+
+    def _require_dense(self, what: str):
+        if self._route() in ("seq", "state"):
+            raise NotImplementedError(
+                f"{what} has no sequence/state-sharded implementation; "
+                "construct a dense HMMLayer (mesh=None or batch-only "
+                "partition) for it, or call the functions in "
+                "hmm_layer_tpu.parallel.sharding directly"
+            )
+
+    def _dispatch_log_likelihood(self, init, A, E):
+        route = self._route()
+        if route in ("dense", "data"):
+            if route == "data":
+                E = self._constrain_data(E)
+            return recursion.log_likelihood(init, A, E, self._pf(E))
+        from .parallel import sharding
+
+        if route == "state":
+            return sharding.state_sharded_log_likelihood(
+                init, A, E, self.mesh,
+                state_axis=self.partition["state"],
+                data_axis=self.partition.get("batch"),
+                parallel_factor=self._pf(E),
+            )
+        return sharding.seq_sharded_log_likelihood(
+            init, A, E, self.mesh,
+            seq_axis=self.partition["seq"],
+            data_axis=self.partition.get("batch"),
+            local_parallel_factor=self._pf(E),
+        )
+
+    def _dispatch_posterior(self, init, A, E, no_loglik):
+        route = self._route()
+        if route in ("dense", "data"):
+            if route == "data":
+                E = self._constrain_data(E)
+            return recursion.posterior(
+                init, A, E, self._pf(E), no_loglik=no_loglik
+            )
+        from .parallel import sharding
+
+        if route == "state":
+            return sharding.state_sharded_posterior(
+                init, A, E, self.mesh,
+                state_axis=self.partition["state"],
+                data_axis=self.partition.get("batch"),
+                no_loglik=no_loglik,
+                parallel_factor=self._pf(E),
+            )
+        return sharding.seq_sharded_posterior(
+            init, A, E, self.mesh,
+            seq_axis=self.partition["seq"],
+            data_axis=self.partition.get("batch"),
+            local_parallel_factor=self._pf(E),
+            no_loglik=no_loglik,
+        )
+
+    def _dispatch_viterbi(self, init, A, E):
+        route = self._route()
+        if route in ("dense", "data"):
+            if route == "data":
+                E = self._constrain_data(E)
+            return recursion.viterbi(init, A, E, self._pf(E, for_viterbi=True))
+        from .parallel import sharding
+
+        if route == "state":
+            return sharding.state_sharded_viterbi(
+                init, A, E, self.mesh,
+                state_axis=self.partition["state"],
+                data_axis=self.partition.get("batch"),
+            )
+        return sharding.seq_sharded_viterbi(
+            init, A, E, self.mesh,
+            seq_axis=self.partition["seq"],
+            data_axis=self.partition.get("batch"),
+            local_parallel_factor=self._pf(E, for_viterbi=True),
+        )
 
     # -- params ---------------------------------------------------------------
 
@@ -106,6 +252,7 @@ class HMMLayer:
         self, params, inputs, end_hints=None, return_prior=False, training=False
     ):
         """(log_forward (m,b,L,q), loglik (m,b)[, prior, aux_loss])."""
+        self._require_dense("forward_recursion")
         init, A, E = self._ingredients(params, inputs, end_hints, training)
         la, ll = recursion.forward(init, A, E, self._pf(E))
         if return_prior:
@@ -115,6 +262,7 @@ class HMMLayer:
     def backward_recursion(
         self, params, inputs, end_hints=None, return_prior=False, training=False
     ):
+        self._require_dense("backward_recursion")
         init, A, E = self._ingredients(params, inputs, end_hints, training)
         lb = recursion.backward(init, A, E, self._pf(E))
         if return_prior:
@@ -132,9 +280,7 @@ class HMMLayer:
     ):
         """log P(s_t = q | x); (m, b, L, q)."""
         init, A, E = self._ingredients(params, inputs, end_hints, training)
-        lg, _ = recursion.posterior(
-            init, A, E, self._pf(E), no_loglik=no_loglik
-        )
+        lg, _ = self._dispatch_posterior(init, A, E, no_loglik)
         if return_prior:
             return lg, self.compute_prior(params, scaled=False), self.aux_loss(params)
         return lg
@@ -142,15 +288,16 @@ class HMMLayer:
     def log_likelihood(self, params, inputs, end_hints=None, training=False):
         """Per-model per-sequence loglik; (m, b)."""
         init, A, E = self._ingredients(params, inputs, end_hints, training)
-        return recursion.log_likelihood(init, A, E, self._pf(E))
+        return self._dispatch_log_likelihood(init, A, E)
 
     def viterbi(self, params, inputs):
         """Most likely state paths; (m, b, L) int32."""
         init, A, E = self._ingredients(params, inputs, None, False)
-        return recursion.viterbi(init, A, E, self._pf(E, for_viterbi=True))
+        return self._dispatch_viterbi(init, A, E)
 
     def sample_paths(self, params, inputs, key, num_samples: int = 1):
         """Exact posterior path samples; (m, b, num_samples, L) int32."""
+        self._require_dense("sample_paths")
         init, A, E = self._ingredients(params, inputs, None, False)
         return sampling.sample_posterior(
             init, A, E, key, num_samples, self._pf(E)

@@ -91,9 +91,16 @@ class Trainer:
     """MAP trainer for an :class:`HMMLayer`.
 
     Args:
-        layer: the HMM layer (defines the loss).
+        layer: the HMM layer (defines the loss). If the layer was built
+            with ``mesh``/``partition`` (distributed routing), the trainer
+            adopts them: each batch is placed with its sequence axis over
+            the layer's ``seq`` axis and/or its batch axis over the
+            ``batch`` axis, and the jitted ``value_and_grad`` step runs
+            through the layer's sharded loss (seq/state-sharded paths use
+            shard_map-aware analytic VJPs).
         optimizer: optax transform; default adam(1e-2).
-        mesh / data_axis: optional mesh for data-parallel batches.
+        mesh / data_axis: legacy data-parallel-only alternative — shard
+            batches over ``data_axis`` of ``mesh`` with a dense layer.
         checkpoint_dir: if set, checkpoints every ``checkpoint_every`` steps.
     """
 
@@ -142,12 +149,30 @@ class Trainer:
             return params, opt_state, loss
 
         step = jax.jit(train_step)
-        if self.mesh is not None:
-            from .parallel.sharding import shard_batch
+        mesh = self.mesh if self.mesh is not None else getattr(layer, "mesh", None)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            if self.mesh is None and getattr(layer, "partition", None):
+                # Adopt the layer's logical partition: batch dim 1, seq dim 2.
+                dims = {
+                    1: layer.partition.get("batch"),
+                    2: layer.partition.get("seq"),
+                }
+            else:
+                dims = {1: self.data_axis}
+
+            def place(batch):
+                spec = [None] * batch.ndim
+                for d, name in dims.items():
+                    if name is not None and d < batch.ndim:
+                        spec[d] = name
+                return jax.device_put(
+                    batch, NamedSharding(mesh, PartitionSpec(*spec))
+                )
 
             def sharded_step(params, opt_state, batch, indices=None):
-                batch = shard_batch(batch, self.mesh, self.data_axis)
-                return step(params, opt_state, batch, indices)
+                return step(params, opt_state, place(batch), indices)
 
             return sharded_step
         return step
@@ -188,7 +213,9 @@ class Trainer:
             params, opt_state, loss = self._train_step(
                 params, opt_state, batch, indices
             )
-            meter.update(batch.shape[0] * batch.shape[1])
+            # batch is (m, b, L, s): b sequences per step (each sequence is
+            # scored by every model; models do not multiply the count).
+            meter.update(batch.shape[1])
             if step_idx % log_every == 0:
                 if watchdog is not None:
                     with watchdog:
