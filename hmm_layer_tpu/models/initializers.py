@@ -10,6 +10,9 @@ instead of an ``nn.Module``; the named-edge default dictionary
 
 from __future__ import annotations
 
+import functools
+import inspect
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -24,9 +27,73 @@ __all__ = [
     "make_default_transition_init",
     "make_default_flank_init",
     "make_15_class_emission_kernel",
+    "init_to_config",
+    "init_from_config",
 ]
 
+# -- initializer (de)serialization -------------------------------------------
+# Each factory below attaches a JSON-able ``spec`` attribute to the closure
+# it returns, so components can round-trip their initializers through
+# get_config/from_config (the reference serializes its initializer objects
+# the same way, ``Emitter.py:199-224``). Reconstructing from a spec and
+# calling with the same PRNG key reproduces identical parameters.
 
+_INIT_FACTORIES: dict = {}
+
+
+def _jsonable(v):
+    if isinstance(v, np.ndarray) or hasattr(v, "__jax_array__") or hasattr(v, "devices"):
+        return np.asarray(v).tolist()
+    return v
+
+
+def _with_spec(kind):
+    def deco(factory):
+        _INIT_FACTORIES[kind] = factory
+
+        @functools.wraps(factory)
+        def wrapper(*args, **kwargs):
+            fn = factory(*args, **kwargs)
+            bound = inspect.signature(factory).bind(*args, **kwargs)
+            bound.apply_defaults()
+            fn.spec = {
+                "kind": kind,
+                **{k: _jsonable(v) for k, v in bound.arguments.items()},
+            }
+            return fn
+
+        return wrapper
+
+    return deco
+
+
+def init_to_config(fn) -> dict:
+    """JSON-able spec of an initializer built by this module."""
+    spec = getattr(fn, "spec", None)
+    if spec is None:
+        raise ValueError(
+            f"initializer {fn!r} has no serialization spec; build it from "
+            "hmm_layer_tpu.models.initializers (or attach a .spec dict "
+            "matching a registered factory) to make the component "
+            "config-serializable"
+        )
+    return dict(spec)
+
+
+def init_from_config(spec: dict):
+    """Inverse of :func:`init_to_config`."""
+    spec = dict(spec)
+    kind = spec.pop("kind")
+    factory = _INIT_FACTORIES.get(kind)
+    if factory is None:
+        raise ValueError(
+            f"unknown initializer kind {kind!r}; known: "
+            f"{sorted(_INIT_FACTORIES)}"
+        )
+    return globals()[factory.__name__](**spec)
+
+
+@_with_spec("constant")
 def constant_init(value):
     """Fill with a constant scalar or tile a constant array
     (``Initializers.py:67-127``)."""
@@ -44,6 +111,7 @@ def constant_init(value):
     return init
 
 
+@_with_spec("tiled_dist")
 def tiled_dist_init(dist):
     """Tile a fixed distribution along all leading axes
     (``EmissionInitializer``, ``Initializers.py:5-64``)."""
@@ -59,6 +127,7 @@ def tiled_dist_init(dist):
     return init
 
 
+@_with_spec("random_normal")
 def random_normal_init(mean=0.0, stddev=0.05):
     def init(key, shape, dtype=jnp.float32):
         return mean + stddev * jax.random.normal(key, shape, dtype)
@@ -66,6 +135,7 @@ def random_normal_init(mean=0.0, stddev=0.05):
     return init
 
 
+@_with_spec("entry")
 def entry_init():
     """First entry ~0.5, remaining uniform (``Initializers.py:184-214``)."""
 
@@ -83,6 +153,7 @@ def entry_init():
     return init
 
 
+@_with_spec("exit")
 def exit_init():
     """Uniform exit mass of 0.5 split over non-first matches
     (``Initializers.py:222-249``)."""
@@ -93,6 +164,7 @@ def exit_init():
     return init
 
 
+@_with_spec("match_transition")
 def match_transition_init(val, i, scale=0.1):
     """Softmax-consistent match-transition logits with per-position noise
     (``Initializers.py:258-305``)."""

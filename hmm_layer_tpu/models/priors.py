@@ -49,6 +49,13 @@ class FixedDirichlet:
     def log_pdf(self, p):
         return dirichlet_log_pdf(p, jnp.asarray(self.alpha), jnp.asarray(self.mix))
 
+    def get_config(self):
+        return {"alpha": self.alpha.tolist(), "mix": self.mix.tolist()}
+
+    @classmethod
+    def from_config(cls, config):
+        return cls(config["alpha"], config.get("mix"))
+
 
 class ProfileHMMTransitionPrior:
     """Default Dirichlet-mixture prior on profile-HMM transitions.
@@ -87,6 +94,28 @@ class ProfileHMMTransitionPrior:
         self.alpha_single_compl = alpha_single_compl
         self.alpha_global_compl = alpha_global_compl
         self.epsilon = epsilon
+
+    def get_config(self):
+        return {
+            "match_dirichlet": self.match_dirichlet.get_config(),
+            "insert_dirichlet": self.insert_dirichlet.get_config(),
+            "delete_dirichlet": self.delete_dirichlet.get_config(),
+            "alpha_flank": self.alpha_flank,
+            "alpha_single": self.alpha_single,
+            "alpha_global": self.alpha_global,
+            "alpha_flank_compl": self.alpha_flank_compl,
+            "alpha_single_compl": self.alpha_single_compl,
+            "alpha_global_compl": self.alpha_global_compl,
+            "epsilon": self.epsilon,
+        }
+
+    @classmethod
+    def from_config(cls, config):
+        config = dict(config)
+        for name in ("match_dirichlet", "insert_dirichlet", "delete_dirichlet"):
+            if config.get(name) is not None:
+                config[name] = FixedDirichlet.from_config(config[name])
+        return cls(**config)
 
     def __call__(self, probs_list, flank_init_prob):
         """Per-prior values, each (num_models,) (``Priors.py:68-136``)."""
@@ -175,6 +204,19 @@ class AminoAcidPrior:
     def __init__(self, dirichlet=None, epsilon=1e-16):
         self.dirichlet = dirichlet or FixedDirichlet(np.full((20,), 1.1))
         self.epsilon = epsilon
+
+    def get_config(self):
+        return {
+            "dirichlet": self.dirichlet.get_config(),
+            "epsilon": self.epsilon,
+        }
+
+    @classmethod
+    def from_config(cls, config):
+        config = dict(config)
+        if config.get("dirichlet") is not None:
+            config["dirichlet"] = FixedDirichlet.from_config(config["dirichlet"])
+        return cls(**config)
 
     def __call__(self, B, lengths):
         """Args: B (num_models, q_max, s); returns (num_models,).

@@ -190,7 +190,43 @@ class ProfileEmissions:
         return copy, sub
 
     def get_config(self):
+        """Full JSON-able config (``Emitter.py:199-224``); ``None``
+        initializers (zero kernels) serialize as ``None``."""
+        from . import initializers as inits
+
         return {
             "lengths": self.lengths,
             "frozen_insertions": self.frozen_insertions,
+            "emission_init": [
+                None if fn is None else inits.init_to_config(fn)
+                for fn in self.emission_init
+            ],
+            "insertion_init": [
+                None if fn is None else inits.init_to_config(fn)
+                for fn in self.insertion_init
+            ],
+            "prior": self.prior.get_config(),
         }
+
+    @classmethod
+    def from_config(cls, config):
+        from . import initializers as inits
+
+        def restore(specs):
+            if specs is None:
+                return None
+            return [
+                None if spec is None else inits.init_from_config(spec)
+                for spec in specs
+            ]
+
+        prior = config.get("prior")
+        if prior is not None:
+            prior = AminoAcidPrior.from_config(prior)
+        return cls(
+            config["lengths"],
+            emission_init=restore(config.get("emission_init")),
+            insertion_init=restore(config.get("insertion_init")),
+            prior=prior,
+            frozen_insertions=config.get("frozen_insertions", True),
+        )

@@ -507,4 +507,39 @@ class ProfileTransitions:
         return sum(prior_dict.values())
 
     def get_config(self):
-        return {"lengths": self.lengths, "frozen_kernels": self.frozen_kernels}
+        """Full JSON-able config — a checkpointed profile run reconstructs
+        from config alone (reference: ``Emitter.py:199-224``). Initializers
+        serialize via their spec (:func:`initializers.init_to_config`);
+        reconstruction with the same PRNG key gives identical params."""
+        return {
+            "lengths": self.lengths,
+            "frozen_kernels": self.frozen_kernels,
+            "transition_init": [
+                {name: inits.init_to_config(fn) for name, fn in model_init.items()}
+                for model_init in self.transition_init
+            ],
+            "flank_init": [inits.init_to_config(fn) for fn in self.flank_init],
+            "prior": self.prior.get_config(),
+        }
+
+    @classmethod
+    def from_config(cls, config):
+        t_init = config.get("transition_init")
+        if t_init is not None:
+            t_init = [
+                {name: inits.init_from_config(spec) for name, spec in mi.items()}
+                for mi in t_init
+            ]
+        f_init = config.get("flank_init")
+        if f_init is not None:
+            f_init = [inits.init_from_config(spec) for spec in f_init]
+        prior = config.get("prior")
+        if prior is not None:
+            prior = ProfileHMMTransitionPrior.from_config(prior)
+        return cls(
+            config["lengths"],
+            transition_init=t_init,
+            flank_init=f_init,
+            prior=prior,
+            frozen_kernels=config.get("frozen_kernels"),
+        )
