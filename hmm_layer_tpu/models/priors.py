@@ -19,12 +19,59 @@ trained parameters via ``load_mixture_model`` (npz).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 
 from .dirichlet import DirichletMixture, dirichlet_log_pdf
 
-__all__ = ["ProfileHMMTransitionPrior", "AminoAcidPrior", "FixedDirichlet"]
+__all__ = [
+    "ProfileHMMTransitionPrior",
+    "AminoAcidPrior",
+    "FixedDirichlet",
+    "load_trained_prior",
+]
+
+_TRAINED_PRIOR_DIR = os.path.join(
+    os.path.dirname(__file__), "..", "trained_priors"
+)
+
+
+def _np_softplus(x):
+    x = np.asarray(x, np.float64)
+    return np.where(x > 30.0, x, np.log1p(np.exp(np.minimum(x, 30.0))))
+
+
+def _np_softmax(x):
+    x = np.asarray(x, np.float64)
+    e = np.exp(x - x.max())
+    return e / e.sum()
+
+
+def load_trained_prior(name, fallback_alpha=None):
+    """A :class:`FixedDirichlet` from a trained mixture artifact.
+
+    Artifacts live in ``hmm_layer_tpu/trained_priors/<name>.npz`` (written
+    by ``examples/train_dirichlet_priors.py`` via
+    :func:`~hmm_layer_tpu.models.dirichlet.save_mixture_model`) — the
+    equivalent of the reference's ``trained_prior/`` weight files, which
+    its repo references but does not ship (``Priors.py:48-66``). Loads
+    with NumPy only (import stays backend-free). Falls back to
+    ``FixedDirichlet(fallback_alpha)`` when the artifact is absent.
+    """
+    path = os.path.join(_TRAINED_PRIOR_DIR, f"{name}.npz")
+    if os.path.exists(path):
+        data = np.load(path)
+        alpha = _np_softplus(data["alpha_kernel"])
+        mix = _np_softmax(data["mix_kernel"])
+        return FixedDirichlet(alpha, mix)
+    if fallback_alpha is None:
+        raise FileNotFoundError(
+            f"trained prior artifact {path} missing and no fallback given; "
+            "run examples/train_dirichlet_priors.py to create it"
+        )
+    return FixedDirichlet(fallback_alpha)
 
 
 class FixedDirichlet:
@@ -84,9 +131,18 @@ class ProfileHMMTransitionPrior:
         alpha_global_compl=1.0,
         epsilon=1e-16,
     ):
-        self.match_dirichlet = match_dirichlet or FixedDirichlet([10.0, 2.0, 2.0])
-        self.insert_dirichlet = insert_dirichlet or FixedDirichlet([2.0, 2.0])
-        self.delete_dirichlet = delete_dirichlet or FixedDirichlet([2.0, 2.0])
+        # Defaults are the TRAINED mixtures shipped with the package
+        # (examples/train_dirichlet_priors.py), with the former mild
+        # single-component values as fallback if artifacts are absent.
+        self.match_dirichlet = match_dirichlet or load_trained_prior(
+            "match_prior_1", [10.0, 2.0, 2.0]
+        )
+        self.insert_dirichlet = insert_dirichlet or load_trained_prior(
+            "insert_prior_1", [2.0, 2.0]
+        )
+        self.delete_dirichlet = delete_dirichlet or load_trained_prior(
+            "delete_prior_1", [2.0, 2.0]
+        )
         self.alpha_flank = alpha_flank
         self.alpha_single = alpha_single
         self.alpha_global = alpha_global
@@ -202,7 +258,9 @@ class AminoAcidPrior:
     """
 
     def __init__(self, dirichlet=None, epsilon=1e-16):
-        self.dirichlet = dirichlet or FixedDirichlet(np.full((20,), 1.1))
+        self.dirichlet = dirichlet or load_trained_prior(
+            "amino_prior_9", np.full((20,), 1.1)
+        )
         self.epsilon = epsilon
 
     def get_config(self):
