@@ -25,7 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .transition_utils import masked_row_softmax_from_edges
+from .transition_utils import masked_row_softmax_from_edges, sparse_edge_softmax
 
 __all__ = [
     "SimpleGenePredTransitions",
@@ -145,6 +145,28 @@ class SimpleGenePredTransitions:
             self.indices, params["transition_kernel"], self.num_states
         )
         return jnp.broadcast_to(A, (self.num_models,) + A.shape)
+
+    def make_A_sparse(self, params):
+        """COO transition probabilities WITHOUT densifying
+        (``gene_pred_hmm_transitioner.py:74-98`` /
+        ``Transitioner.py:292-310`` capability).
+
+        Returns ``(indices (n_edges, 2) static, probs (num_models,
+        n_edges))`` — consume with :mod:`hmm_layer_tpu.ops.sparse` for
+        multi-copy models whose dense ``(q, q)`` matrix would not fit
+        (``q = 1 + 14k`` at large ``k``).
+        """
+        probs = sparse_edge_softmax(
+            self.indices, params["transition_kernel"], self.num_states
+        )
+        return self.indices, jnp.broadcast_to(
+            probs, (self.num_models, self.num_transitions)
+        )
+
+    def make_log_A_sparse(self, params):
+        """COO log-probabilities; same layout as :meth:`make_A_sparse`."""
+        indices, probs = self.make_A_sparse(params)
+        return indices, jnp.log(jnp.maximum(probs, 1e-32))
 
     def make_initial_distribution(self, params) -> jax.Array:
         """(num_models, q)."""

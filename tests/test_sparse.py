@@ -1,0 +1,200 @@
+"""Sparse-transition capability (VERDICT round-2 missing item 4).
+
+``make_A_sparse``/``make_log_A_sparse`` API parity with the reference
+(``Transitioner.py:249-310``) plus the dense-free compute path in
+:mod:`hmm_layer_tpu.ops.sparse` — parity vs the dense engine including the
+505-state multi-copy model (BASELINE config 5) and gradients.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hmm_layer_tpu.models import (
+    GenePredMultiTransitions,
+    ProfileTransitions,
+    SimpleGenePredTransitions,
+)
+from hmm_layer_tpu.models.transition_utils import (
+    gather_edge_probs,
+    masked_row_softmax_from_edges,
+    sparse_edge_softmax,
+)
+from hmm_layer_tpu.ops import recursion, sparse
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _emissions(rng, m, b, L, q):
+    return jnp.asarray(rng.uniform(0.05, 1.0, (m, b, L, q)).astype(np.float32))
+
+
+class TestSparseEdgeSoftmax:
+    @pytest.mark.parametrize("trans_cls,kw", [
+        (SimpleGenePredTransitions, {}),
+        (GenePredMultiTransitions, {"k": 3}),
+    ])
+    def test_matches_dense_masked_softmax(self, trans_cls, kw):
+        trans = trans_cls(**kw)
+        params = trans.init_params(KEY)
+        A = trans.make_A(params)
+        indices, probs = trans.make_A_sparse(params)
+        dense_vals = gather_edge_probs(A, indices)
+        np.testing.assert_allclose(
+            np.asarray(probs), np.asarray(dense_vals), rtol=1e-6, atol=1e-7
+        )
+        # rows are stochastic over their out-edges
+        rows = np.asarray(indices)[:, 0]
+        sums = np.zeros(trans.num_states)
+        np.add.at(sums, rows, np.asarray(probs)[0])
+        present = np.unique(rows)
+        np.testing.assert_allclose(sums[present], 1.0, rtol=1e-5)
+
+    def test_log_A_sparse(self):
+        trans = SimpleGenePredTransitions()
+        params = trans.init_params(KEY)
+        indices, logp = trans.make_log_A_sparse(params)
+        _, p = trans.make_A_sparse(params)
+        np.testing.assert_allclose(
+            np.asarray(jnp.exp(logp)), np.asarray(p), rtol=1e-6
+        )
+
+    def test_grad_flows(self):
+        trans = SimpleGenePredTransitions()
+        params = trans.init_params(KEY)
+
+        def f(kernel):
+            return jnp.sum(
+                sparse_edge_softmax(trans.indices, kernel, trans.num_states) ** 2
+            )
+
+        g = jax.grad(f)(params["transition_kernel"])
+        assert np.all(np.isfinite(np.asarray(g))) and np.any(np.asarray(g) != 0)
+
+
+class TestProfileSparseViews:
+    def test_coo_matches_dense(self):
+        trans = ProfileTransitions([4, 6])
+        params = trans.init_params(KEY)
+        log_A = np.asarray(trans.make_log_A(params))
+        for i, (idx, vals) in enumerate(trans.make_log_A_sparse(params)):
+            np.testing.assert_allclose(
+                np.asarray(vals), log_A[i, idx[:, 0], idx[:, 1]], rtol=1e-6
+            )
+        for i, (idx, vals) in enumerate(trans.make_A_sparse(params)):
+            np.testing.assert_allclose(
+                np.asarray(vals),
+                np.exp(log_A[i, idx[:, 0], idx[:, 1]]),
+                rtol=1e-5,
+            )
+
+
+class TestSparseRecursions:
+    def _setup(self, k=2, b=3, L=18, seed=1):
+        trans = GenePredMultiTransitions(k=k)
+        params = trans.init_params(jax.random.fold_in(KEY, seed))
+        init, A = trans.matrices(params)
+        indices, probs = trans.make_A_sparse(params)
+        rng = np.random.default_rng(seed)
+        E = _emissions(rng, trans.num_models, b, L, trans.num_states)
+        return init, A, indices, probs, E
+
+    def test_loglik_matches_dense(self):
+        init, A, indices, probs, E = self._setup()
+        ll_ref = recursion.log_likelihood(init, A, E)
+        ll = sparse.sparse_log_likelihood(init, indices, probs, E)
+        np.testing.assert_allclose(
+            np.asarray(ll), np.asarray(ll_ref), rtol=1e-5
+        )
+
+    def test_forward_backward_posterior_match_dense(self):
+        init, A, indices, probs, E = self._setup()
+        la_ref, ll_ref = recursion.forward(init, A, E)
+        la, ll = sparse.sparse_forward(init, indices, probs, E)
+        np.testing.assert_allclose(
+            np.asarray(la), np.asarray(la_ref), rtol=2e-4, atol=2e-4
+        )
+        np.testing.assert_allclose(np.asarray(ll), np.asarray(ll_ref), rtol=1e-5)
+        lb_ref = recursion.backward(init, A, E)
+        lb = sparse.sparse_backward(indices, probs, E)
+        np.testing.assert_allclose(
+            np.asarray(lb), np.asarray(lb_ref), rtol=2e-4, atol=2e-4
+        )
+        lg_ref, _ = recursion.posterior(init, A, E)
+        lg, _ = sparse.sparse_posterior(init, indices, probs, E)
+        np.testing.assert_allclose(
+            np.asarray(lg), np.asarray(lg_ref), rtol=2e-4, atol=2e-4
+        )
+
+    def test_505_state_config5(self):
+        """BASELINE config 5 scale: 1+14k = 505 states, dense-free."""
+        init, A, indices, probs, E = self._setup(k=36, b=2, L=12, seed=3)
+        assert E.shape[-1] == 505
+        ll_ref = recursion.log_likelihood(init, A, E)
+        ll = sparse.sparse_log_likelihood(init, indices, probs, E)
+        np.testing.assert_allclose(np.asarray(ll), np.asarray(ll_ref), rtol=1e-4)
+        paths_ref = recursion.viterbi(init, A, E)
+        paths = sparse.sparse_viterbi(init, indices, probs, E)
+        # both decodes must achieve the same optimal score and be valid
+        A_np = np.asarray(A)[0]
+        for p in (np.asarray(paths), np.asarray(paths_ref)):
+            for t in range(p.shape[-1] - 1):
+                assert np.all(A_np[p[0, :, t], p[0, :, t + 1]] > 0)
+        s_ref = _path_score(init, A, E, np.asarray(paths_ref))
+        s = _path_score(init, A, E, np.asarray(paths))
+        np.testing.assert_allclose(s, s_ref, rtol=1e-5, atol=1e-4)
+
+    def test_viterbi_matches_dense(self):
+        init, A, indices, probs, E = self._setup(b=2, L=14)
+        paths_ref = np.asarray(recursion.viterbi(init, A, E))
+        paths = np.asarray(sparse.sparse_viterbi(init, indices, probs, E))
+        s_ref = _path_score(init, A, E, paths_ref)
+        s = _path_score(init, A, E, paths)
+        np.testing.assert_allclose(s, s_ref, rtol=1e-5, atol=1e-4)
+
+    def test_grads_match_dense(self):
+        """d loglik / d edge logits via the sparse path == via the dense
+        path (chain through each builder)."""
+        trans = SimpleGenePredTransitions()
+        params = trans.init_params(KEY)
+        rng = np.random.default_rng(5)
+        E = _emissions(rng, 1, 2, 10, trans.num_states)
+        init = trans.make_initial_distribution(params)
+
+        def dense_loss(kernel):
+            A = masked_row_softmax_from_edges(
+                trans.indices, kernel, trans.num_states
+            )[None]
+            return recursion.log_likelihood(init, A, E).mean()
+
+        def sparse_loss(kernel):
+            probs = sparse_edge_softmax(
+                trans.indices, kernel, trans.num_states
+            )[None]
+            return sparse.sparse_log_likelihood(
+                init, trans.indices, probs, E
+            ).mean()
+
+        g_ref = jax.grad(dense_loss)(params["transition_kernel"])
+        g = jax.grad(sparse_loss)(params["transition_kernel"])
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(g_ref), rtol=1e-4, atol=1e-6
+        )
+
+
+def _path_score(init, A, E, paths):
+    """Joint log-prob of decoded paths (f64 NumPy)."""
+    init = np.asarray(init, np.float64)
+    A = np.asarray(A, np.float64)
+    E = np.asarray(E, np.float64)
+    m, b, L = paths.shape
+    out = np.zeros((m, b))
+    for i in range(m):
+        for j in range(b):
+            p = paths[i, j]
+            s = np.log(init[i, p[0]]) + np.log(E[i, j, 0, p[0]])
+            for t in range(1, L):
+                s += np.log(A[i, p[t - 1], p[t]]) + np.log(E[i, j, t, p[t]])
+            out[i, j] = s
+    return out
