@@ -286,7 +286,27 @@ class HMMLayer:
         return lg
 
     def log_likelihood(self, params, inputs, end_hints=None, training=False):
-        """Per-model per-sequence loglik; (m, b)."""
+        """Per-model per-sequence loglik; (m, b).
+
+        Profile-family transitions built with ``structured_forward=True``
+        route the dense sequential path through the structured O(L) Plan7
+        matvec (:mod:`hmm_layer_tpu.ops.plan7`) — the implicit transition
+        matrix is never materialized. Opt-in: measured slower than the
+        dense MXU engine at config-4 scale (BASELINE.md round 3).
+        """
+        if (
+            getattr(self.transitions, "structured_forward", False)
+            and self._route() == "dense"
+        ):
+            E = self.emission_probs(params, inputs, end_hints, training)
+            if self._pf(E) == 1:
+                from .ops import plan7
+
+                return plan7.structured_log_likelihood(
+                    self.transitions, params["transitions"], E
+                )
+            init, A = self.transitions.matrices(params["transitions"])
+            return self._dispatch_log_likelihood(init, A, E)
         init, A, E = self._ingredients(params, inputs, end_hints, training)
         return self._dispatch_log_likelihood(init, A, E)
 

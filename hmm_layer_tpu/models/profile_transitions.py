@@ -222,6 +222,13 @@ class ProfileTransitions:
             training (consumed by :meth:`trainable_mask`).
     """
 
+    #: ``structured_forward=True`` routes HMMLayer's sequential
+    #: log-likelihood/loss through the structured O(L) Plan7 matvec
+    #: (ops/plan7.py) instead of the dense engine. MEASURED NEGATIVE at
+    #: config-4 scale on TPU v5e (m=5, q<=155, b=64, L=400: train step
+    #: 19.1 ms vs 10.0 dense — see BASELINE.md round 3), so the default
+    #: is False; the exact O(L) path remains available for the regimes
+    #: it targets (very long single models / memory-bound settings).
     def __init__(
         self,
         lengths,
@@ -229,7 +236,9 @@ class ProfileTransitions:
         flank_init=None,
         prior=None,
         frozen_kernels=None,
+        structured_forward: bool = False,
     ):
+        self.structured_forward = structured_forward
         self.lengths = [lengths] if np.isscalar(lengths) else list(lengths)
         self.num_models = len(self.lengths)
         self.num_states = get_num_states(self.lengths)
@@ -457,6 +466,27 @@ class ProfileTransitions:
             rows.append(log_A)
         return jnp.stack(rows, axis=0)
 
+    def make_log_A_sparse(self, params):
+        """Per-model COO views of the implicit transition matrix
+        (``Transitioner.py:249-280`` parity): list of ``(indices
+        (n_i, 2), log_values (n_i,))``, edge order following
+        :func:`sparse_transition_indices_implicit`. Profile state spaces
+        are small (2L+3), so this gathers from the dense build; the
+        dense-free path for huge models is the gene-pred family's
+        ``make_A_sparse``."""
+        log_A = self.make_log_A(params)
+        out = []
+        for i, parts in enumerate(self.indices_implicit):
+            idx = np.concatenate(list(parts.values()), axis=0)
+            out.append((idx, log_A[i, idx[:, 0], idx[:, 1]]))
+        return out
+
+    def make_A_sparse(self, params):
+        """Linear-space COO views; same layout as :meth:`make_log_A_sparse`."""
+        return [
+            (idx, jnp.exp(vals)) for idx, vals in self.make_log_A_sparse(params)
+        ]
+
     def make_A(self, params):
         return jnp.exp(self.make_log_A(params))
 
@@ -514,6 +544,7 @@ class ProfileTransitions:
         return {
             "lengths": self.lengths,
             "frozen_kernels": self.frozen_kernels,
+            "structured_forward": self.structured_forward,
             "transition_init": [
                 {name: inits.init_to_config(fn) for name, fn in model_init.items()}
                 for model_init in self.transition_init
@@ -542,4 +573,5 @@ class ProfileTransitions:
             flank_init=f_init,
             prior=prior,
             frozen_kernels=config.get("frozen_kernels"),
+            structured_forward=config.get("structured_forward", False),
         )
