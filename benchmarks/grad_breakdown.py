@@ -5,18 +5,28 @@ its measured parts so optimization targets the right term:
 
   * grad(loglik): Baum-Welch analytic VJP (one summary reuse, no solves).
   * grad(posterior-CE-like): primal + full analytic posterior VJP.
-  * posterior VJP alone: the two batched chunked affine adjoint solves +
-    weight construction + gE/gA assembly, driven from saved residuals.
+  * posterior VJP alone: the batched (fwd+bwd stacked as 2m models)
+    chunked affine adjoint solve + weight construction + gE/gA assembly,
+    driven from saved residuals.
   * one affine solve (m=1): the per-solve floor (Pallas, near VPU roofline).
 
-Timing uses the in-jit repetition slope (the axon transport has ~33 ms
-fixed dispatch cost and block_until_ready does not synchronize through
-it — see bench.py). Run on the real chip:
+Timing uses the same in-jit repetition-slope harness as ``bench.py``
+(K1=3/K2=19, only the EMISSIONS perturbed per iteration). An earlier
+version used K1=2/K2=10 and perturbed BOTH operands per iteration — that
+harness reported ~27x inflated figures (recorded so nobody resurrects
+it); cross-check any change here against the flagship train-step numbers,
+which bound grad(loglik) from above.
 
+Measured (TPU v5e, q=15, b=32, L=9999, pf=33 — round 3):
+    primal loglik           0.646 ms
+    grad(loglik) wrt (A,E)  1.224 ms
+    primal posterior        1.198 ms
+    grad(post-CE) wrt (A,E) 5.061 ms
+    posterior VJP alone     3.212 ms
+    one affine solve        1.037 ms
+
+Run on the real chip:
     python benchmarks/grad_breakdown.py [--pf 33] [--trace DIR]
-
-``--trace DIR`` additionally captures a perfetto trace of one
-grad(posterior) dispatch (view in Perfetto/TensorBoard) for fusion work.
 """
 
 from __future__ import annotations
@@ -39,30 +49,33 @@ def log(*a):
     print(time.strftime("%H:%M:%S"), *a, flush=True)
 
 
-def slope(fn, args, k1=2, k2=10, reps=3):
-    """Device ms/call via the in-jit repetition slope."""
+def make_slope(A, E, K1=3, K2=19, reps=5):
+    """Device ms/call via the in-jit repetition slope (bench.py method)."""
 
-    def rep(n):
-        @jax.jit
-        def run(*xs):
-            def body(k, acc):
-                scaled = tuple(x * (1.0 + 1e-6 * k) for x in xs)
-                return acc + fn(*scaled)
+    def slope(fn):
+        def rep(n):
+            @jax.jit
+            def run(A, E):
+                def body(k, acc):
+                    e_k = E * (1.0 + 1e-6 * k)  # defeat CSE across iterations
+                    return acc + fn(A, e_k)
 
-            return lax.fori_loop(0, n, body, 0.0)
+                return lax.fori_loop(0, n, body, 0.0)
 
-        return run
+            return run
 
-    r1, r2 = rep(k1), rep(k2)
-    np.asarray(r1(*args))
-    np.asarray(r2(*args))
-    ts = {k1: [], k2: []}
-    for _ in range(reps):
-        for k, f in ((k1, r1), (k2, r2)):
-            t0 = time.perf_counter()
-            np.asarray(f(*args))
-            ts[k].append(time.perf_counter() - t0)
-    return (min(ts[k2]) - min(ts[k1])) / (k2 - k1) * 1e3
+        r1, r2 = rep(K1), rep(K2)
+        np.asarray(r1(A, E))
+        np.asarray(r2(A, E))
+        ts = {K1: [], K2: []}
+        for _ in range(reps):
+            for k, f in ((K1, r1), (K2, r2)):
+                t0 = time.perf_counter()
+                np.asarray(f(A, E))
+                ts[k].append(time.perf_counter() - t0)
+        return (min(ts[K2]) - min(ts[K1])) / (K2 - K1) * 1e3
+
+    return slope
 
 
 def main():
@@ -92,26 +105,29 @@ def main():
         rng.uniform(0.05, 1.0, size=(m, b, L, q)).astype(np.float32)
     )
     w = jnp.asarray(rng.normal(size=(m, b, L, q)).astype(np.float32))
+    slope = make_slope(A, E)
 
-    t = slope(
-        lambda a, e: jnp.sum(
-            jax.grad(
-                lambda aa: jnp.sum(recursion.log_likelihood(init, aa, e, P))
-            )(a)
-        ),
-        (A, E),
-    )
-    log(f"grad(loglik)            : {t:.3f} ms")
+    t = slope(lambda a, e: jnp.sum(recursion.log_likelihood(init, a, e, P)))
+    log(f"primal loglik           : {t:.3f} ms")
 
-    def post_ce(a, e):
-        return jnp.sum(
-            jax.grad(
-                lambda aa: jnp.sum(recursion.posterior(init, aa, e, P)[0] * w)
-            )(a)
-        )
+    t = slope(lambda a, e: sum(
+        jnp.sum(x) for x in jax.grad(
+            lambda aa, ee: jnp.sum(recursion.log_likelihood(init, aa, ee, P)),
+            argnums=(0, 1),
+        )(a, e)
+    ))
+    log(f"grad(loglik) wrt (A,E)  : {t:.3f} ms")
 
-    t = slope(post_ce, (A, E))
-    log(f"grad(posterior-CE-like) : {t:.3f} ms")
+    t = slope(lambda a, e: jnp.sum(recursion.posterior(init, a, e, P)[0] * w))
+    log(f"primal posterior        : {t:.3f} ms")
+
+    t = slope(lambda a, e: sum(
+        jnp.sum(x) for x in jax.grad(
+            lambda aa, ee: jnp.sum(recursion.posterior(init, aa, ee, P)[0] * w),
+            argnums=(0, 1),
+        )(a, e)
+    ))
+    log(f"grad(post-CE) wrt (A,E) : {t:.3f} ms")
 
     # VJP-only: drive the analytic adjoint pass from saved primal residuals.
     la, ll = recursion._forward_chunked_primal(init, A, E, P)
@@ -124,7 +140,7 @@ def main():
         )
         return sum(jnp.sum(x) for x in out)
 
-    t = slope(vjp_only, (A, E))
+    t = slope(vjp_only)
     log(f"posterior VJP alone     : {t:.3f} ms")
 
     def solves_only(a, e):
@@ -133,7 +149,7 @@ def main():
         x = recursion._chunked_affine_reverse(a, f, gbar, ct, P)
         return jnp.sum(x)
 
-    t = slope(solves_only, (A, E))
+    t = slope(solves_only)
     log(f"one affine solve (m=1)  : {t:.3f} ms")
 
     if args.trace:

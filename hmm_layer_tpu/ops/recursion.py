@@ -57,7 +57,21 @@ from . import pallas_adjoint, pallas_forward, pallas_mxu, pallas_viterbi
 # The DP recursions are numerically sensitive: on TPU the default matmul
 # precision is bfloat16, whose per-step rounding accumulates linearly in L
 # (observed ~0.13 log-space error at L=1200). Force full f32 MXU passes.
+# One-hot SELECTION einsums (backtraces/sampling) use _PRECISION and are
+# always HIGHEST — operands are O(hundreds of nats) and bf16 rounding
+# corrupts argmaxes.
 _PRECISION = lax.Precision.HIGHEST
+
+# DP-recursion / adjoint-statistic einsums use _DP_PRECISION, switchable to
+# the reduced-pass mode for the measured precision/speed trade
+# (HMM_DP_PRECISION=high -> 3-pass bf16x3 instead of HIGHEST's 6 passes;
+# measured log-space error at the target L gates any adoption — see
+# BASELINE.md round-3 precision experiment).
+_DP_PRECISION = {
+    "highest": lax.Precision.HIGHEST,
+    "high": lax.Precision.HIGH,
+    "default": lax.Precision.DEFAULT,
+}[os.environ.get("HMM_DP_PRECISION", "highest").lower()]
 
 # The Mosaic kernels only lower on TPU backends; dispatch on an explicit
 # allowlist (not a "anything unknown must be TPU" sniff) so a future backend
@@ -118,7 +132,7 @@ def _forward_seq(init, A, E):
 
     def step(carry, e_t):
         alpha, ll = carry
-        r = jnp.einsum("mbq,mqp->mbp", alpha, A, precision=_PRECISION)
+        r = jnp.einsum("mbq,mqp->mbp", alpha, A, precision=_DP_PRECISION)
         s = _clamped(e_t) * _clamped(r)
         z = jnp.sum(s, axis=-1, keepdims=True)
         alpha_new = s / z
@@ -148,7 +162,7 @@ def _backward_seq(A, E):
     def step(carry, e_next):
         beta, ll = carry  # scaled beta at t+1, log-scale
         r = _clamped(e_next) * beta
-        s = jnp.einsum("mbq,mpq->mbp", r, A, precision=_PRECISION)  # sum_j A[p, j] r[j]
+        s = jnp.einsum("mbq,mpq->mbp", r, A, precision=_DP_PRECISION)  # sum_j A[p, j] r[j]
         s = _clamped(s)
         z = jnp.max(s, axis=-1, keepdims=True)
         beta_new = s / z
@@ -265,7 +279,7 @@ def _summaries_from_rows(A, Et, R0):
 
     def step(carry, e_t):
         M, ll = carry  # (m, bP, r, q) row-scaled, (m, bP, r)
-        r = jnp.einsum("mbiq,mqp->mbip", M, A, precision=_PRECISION)
+        r = jnp.einsum("mbiq,mqp->mbip", M, A, precision=_DP_PRECISION)
         s = _clamped(e_t)[..., None, :] * _clamped(r)
         M_new, dll = scale_rows(s)
         return (M_new, ll + dll), None
@@ -381,7 +395,7 @@ def _forward_outputs(init, A, E, T, parallel_factor, first_start_log=None):
 
     def step(carry, e_t):
         alpha, ll = carry
-        r = jnp.einsum("mbq,mqp->mbp", alpha, A, precision=_PRECISION)
+        r = jnp.einsum("mbq,mqp->mbp", alpha, A, precision=_DP_PRECISION)
         s = _clamped(e_t) * _clamped(r)
         z = jnp.sum(s, axis=-1, keepdims=True)
         alpha_new = s / z
@@ -412,7 +426,7 @@ def _backward_outputs(A, E, S, parallel_factor):
     def step(carry, e_next):
         beta, ll = carry
         r = _clamped(e_next) * beta
-        s = jnp.einsum("mbq,mpq->mbp", r, A, precision=_PRECISION)
+        s = jnp.einsum("mbq,mpq->mbp", r, A, precision=_DP_PRECISION)
         s = _clamped(s)
         z = jnp.max(s, axis=-1, keepdims=True)
         beta_new = s / z
@@ -646,7 +660,7 @@ def _forward_fast_bwd(P, res, cts):
     gE = bar / _clamped(E) * maskE
     ginit = jnp.sum(bar[:, :, 0], axis=1) / _clamped(init) * (init >= EPS)
     F, G_of, _ = _forward_gA_factors(la, log_E)
-    gA = jnp.einsum("mbti,mbtj->mij", F, G_of(bar), precision=_PRECISION)
+    gA = jnp.einsum("mbti,mbtj->mij", F, G_of(bar), precision=_DP_PRECISION)
     return ginit, gA, gE
 
 
@@ -685,7 +699,7 @@ def _backward_fast_bwd(P, res, ct):
 
     gE = cbhat / _clamped(E) * maskE
     Fp_of, Gp = _backward_gA_factors(lb, sp, elb)
-    gA = jnp.einsum("mbti,mbtj->mij", Fp_of(cb), Gp, precision=_PRECISION)
+    gA = jnp.einsum("mbti,mbtj->mij", Fp_of(cb), Gp, precision=_DP_PRECISION)
     return jnp.zeros_like(init), gA, gE
 
 
@@ -733,7 +747,7 @@ def _affine_composites(B, u, v, cvec, P):
 
     def apply_M(u_t, v_t, X):
         Y = v_t[..., :, None] * X
-        Z = jnp.einsum("miq,mbqk->mbik", B, Y, precision=_PRECISION)
+        Z = jnp.einsum("miq,mbqk->mbik", B, Y, precision=_DP_PRECISION)
         return u_t[..., :, None] * Z
 
     eye = jnp.broadcast_to(jnp.eye(q, dtype=cvec.dtype), (m, b * P, q, q))
@@ -763,7 +777,7 @@ def _affine_boundary_fold(comp, x_term):
 
     def fold(vb, comp_p):
         x_start = comp_p[..., -1] + jnp.einsum(
-            "mbij,mbj->mbi", comp_p[..., :q], vb, precision=_PRECISION
+            "mbij,mbj->mbi", comp_p[..., :q], vb, precision=_DP_PRECISION
         )
         return x_start, vb
 
@@ -811,7 +825,7 @@ def _affine_outputs(B, u, v, cvec, P, rights):
     def out_step(x, inp):
         u_t, v_t, c_t = inp
         x_new = c_t + u_t * jnp.einsum(
-            "miq,mbq->mbi", B, v_t * x, precision=_PRECISION
+            "miq,mbq->mbi", B, v_t * x, precision=_DP_PRECISION
         )
         return x_new, x_new
 
@@ -928,8 +942,8 @@ def _posterior_analytic_vjp(init, A, E, P, no_loglik, ct, ct_ll_direct, saved):
     # Residual of the lb adjoint only — its gamma*S part is inside kappa.
     Fp_of, Gp = _backward_gA_factors(lb, sp, elb)
     gA = (
-        jnp.einsum("mbti,mbtj->mij", F, xi_u + G_of(bhat), precision=_PRECISION)
-        + jnp.einsum("mbti,mbtj->mij", Fp_of(chat), Gp, precision=_PRECISION)
+        jnp.einsum("mbti,mbtj->mij", F, xi_u + G_of(bhat), precision=_DP_PRECISION)
+        + jnp.einsum("mbti,mbtj->mij", Fp_of(chat), Gp, precision=_DP_PRECISION)
     )
     return ginit, gA, gE
 
@@ -1081,7 +1095,7 @@ def _loglik_bw_stats(init, A, E, la, lb, ll, ct):
         jnp.exp(lb[:, :, 1:] + log_E[:, :, 1:] - ll[..., None, None] + cshift)
         * ct[..., None, None]
     )
-    gA = jnp.einsum("mbti,mbtj->mij", w, u, precision=_PRECISION)
+    gA = jnp.einsum("mbti,mbtj->mij", w, u, precision=_DP_PRECISION)
     return ginit, gA, gE
 
 
@@ -1121,7 +1135,7 @@ def _loglik_seq_primal(init, A, E):
 
     def step(carry, e_t):
         alpha, ll = carry
-        r = jnp.einsum("mbq,mqp->mbp", alpha, A, precision=_PRECISION)
+        r = jnp.einsum("mbq,mqp->mbp", alpha, A, precision=_DP_PRECISION)
         s = _clamped(e_t) * _clamped(r)
         z = jnp.sum(s, axis=-1, keepdims=True)
         return (s / z, ll + jnp.log(z[..., 0])), None
