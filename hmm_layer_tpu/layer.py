@@ -279,6 +279,21 @@ class HMMLayer:
         no_loglik=False,
     ):
         """log P(s_t = q | x); (m, b, L, q)."""
+        if self._sparse_route():
+            from .ops import sparse
+
+            init, indices, probs = self._sparse_matrices(params)
+            E = self.emission_probs(params, inputs, end_hints, training)
+            lg, _ = sparse.sparse_posterior(
+                init, indices, probs, E, no_loglik=no_loglik
+            )
+            if return_prior:
+                return (
+                    lg,
+                    self.compute_prior(params, scaled=False),
+                    self.aux_loss(params),
+                )
+            return lg
         init, A, E = self._ingredients(params, inputs, end_hints, training)
         lg, _ = self._dispatch_posterior(init, A, E, no_loglik)
         if return_prior:
@@ -307,11 +322,34 @@ class HMMLayer:
                 )
             init, A = self.transitions.matrices(params["transitions"])
             return self._dispatch_log_likelihood(init, A, E)
+        if self._sparse_route():
+            from .ops import sparse
+
+            init, indices, probs = self._sparse_matrices(params)
+            E = self.emission_probs(params, inputs, end_hints, training)
+            return sparse.sparse_log_likelihood(init, indices, probs, E)
         init, A, E = self._ingredients(params, inputs, end_hints, training)
         return self._dispatch_log_likelihood(init, A, E)
 
+    def _sparse_route(self) -> bool:
+        return (
+            getattr(self.transitions, "sparse_forward", False)
+            and self._route() == "dense"
+        )
+
+    def _sparse_matrices(self, params):
+        t = self.transitions
+        indices, probs = t.make_A_sparse(params["transitions"])
+        return t.make_initial_distribution(params["transitions"]), indices, probs
+
     def viterbi(self, params, inputs):
         """Most likely state paths; (m, b, L) int32."""
+        if self._sparse_route():
+            from .ops import sparse
+
+            init, indices, probs = self._sparse_matrices(params)
+            E = self.emission_probs(params, inputs, None, False)
+            return sparse.sparse_viterbi(init, indices, probs, E)
         init, A, E = self._ingredients(params, inputs, None, False)
         return self._dispatch_viterbi(init, A, E)
 

@@ -40,6 +40,11 @@ class SimpleGenePredTransitions:
     State order: ``Ir, I0, I1, I2, E0, E1, E2``.
     """
 
+    #: ``sparse_forward=True`` routes HMMLayer's dense-route inference
+    #: through the COO engine (ops/sparse.py) — the dense (q, q) matrix is
+    #: never built. The right setting for large multi-copy models
+    #: (q = 1+14k): past ~500 states the dense scatter-set build also
+    #: hangs the current axon TPU toolchain (see transition_utils).
     def __init__(
         self,
         num_models: int = 1,
@@ -49,7 +54,9 @@ class SimpleGenePredTransitions:
         starting_distribution_trainable: bool = True,
         transitions_trainable: bool = True,
         init_component_sd: float = 0.0,
+        sparse_forward: bool = False,
     ):
+        self.sparse_forward = sparse_forward
         self.num_models = num_models
         self.initial_exon_len = initial_exon_len
         self.initial_intron_len = initial_intron_len
@@ -188,6 +195,7 @@ class SimpleGenePredTransitions:
             "starting_distribution_trainable": self.starting_distribution_trainable,
             "transitions_trainable": self.transitions_trainable,
             "init_component_sd": self.init_component_sd,
+            "sparse_forward": self.sparse_forward,
         }
 
     @classmethod

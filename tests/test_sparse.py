@@ -183,6 +183,83 @@ class TestSparseRecursions:
         )
 
 
+class TestLayerSparseRoute:
+    """HMMLayer(transitions with sparse_forward=True) routes loss /
+    posterior / viterbi through the COO engine with identical results."""
+
+    def _layers(self, k=2):
+        from hmm_layer_tpu.layer import HMMLayer
+
+        class RawEmitter:
+            def init_params(self, key, input_dim):
+                return {}
+
+            def emissions(self, p, x, end_hints=None, training=False):
+                return x
+
+            def prior_log_density(self, p):
+                return jnp.zeros((1,))
+
+            def aux_loss(self, p):
+                return jnp.zeros(())
+
+        sparse_t = GenePredMultiTransitions(k=k, sparse_forward=True)
+        dense_t = GenePredMultiTransitions(k=k)
+        em = RawEmitter()
+        q = sparse_t.num_states
+        sparse_l = HMMLayer(sparse_t, em, use_prior=False)
+        dense_l = HMMLayer(dense_t, em, use_prior=False)
+        params = dense_l.init_params(KEY, q)
+        params["transitions"] = sparse_t.init_params(KEY)
+        rng = np.random.default_rng(2)
+        x = _emissions(rng, 1, 3, 18, q)
+        return sparse_l, dense_l, params, x
+
+    def test_parity_and_routing(self, monkeypatch):
+        sparse_l, dense_l, params, x = self._layers()
+        calls = []
+        orig = sparse.sparse_log_likelihood
+        monkeypatch.setattr(
+            sparse,
+            "sparse_log_likelihood",
+            lambda *a, **kw: (calls.append(1), orig(*a, **kw))[1],
+        )
+        ll = sparse_l.log_likelihood(params, x)
+        assert calls, "layer did not route through the sparse engine"
+        ll_ref = dense_l.log_likelihood(params, x)
+        np.testing.assert_allclose(
+            np.asarray(ll), np.asarray(ll_ref), rtol=1e-5
+        )
+        lg = sparse_l.state_posterior_log_probs(params, x)
+        lg_ref = dense_l.state_posterior_log_probs(params, x)
+        np.testing.assert_allclose(
+            np.asarray(lg), np.asarray(lg_ref), rtol=2e-4, atol=2e-4
+        )
+        p = np.asarray(sparse_l.viterbi(params, x))
+        p_ref = np.asarray(dense_l.viterbi(params, x))
+        init, A = dense_l.transitions.matrices(params["transitions"])
+        np.testing.assert_allclose(
+            _path_score(init, A, x, p),
+            _path_score(init, A, x, p_ref),
+            rtol=1e-5,
+            atol=1e-4,
+        )
+
+    def test_loss_grads(self):
+        sparse_l, dense_l, params, x = self._layers()
+        g = jax.grad(sparse_l.loss)(params, x)
+        g_ref = jax.grad(dense_l.loss)(params, x)
+        for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_ref)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5
+            )
+
+    def test_config_roundtrip_carries_flag(self):
+        t = GenePredMultiTransitions(k=2, sparse_forward=True)
+        t2 = GenePredMultiTransitions.from_config(t.get_config())
+        assert t2.sparse_forward is True
+
+
 def _path_score(init, A, E, paths):
     """Joint log-prob of decoded paths (f64 NumPy)."""
     init = np.asarray(init, np.float64)
