@@ -19,6 +19,13 @@ def test_gene_prediction_example(tmp_path, capsys):
     assert "ctg1: L=256" in out
 
 
+def test_distributed_training_example():
+    sys.path.insert(0, "examples")
+    import distributed_training as dt
+
+    assert dt.main(["--steps", "6", "--batch", "4", "--length", "32"]) == 0
+
+
 def test_intervals_roundtrip():
     sys.path.insert(0, "examples")
     import gene_prediction as gp
