@@ -19,6 +19,7 @@ methods.
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -420,3 +421,54 @@ class HMMLayer:
         if self.use_prior:
             return ll, ll_mean, self.compute_prior(params), self.aux_loss(params)
         return ll, ll_mean
+
+    # -- config round-trip --------------------------------------------------------
+
+    def get_config(self) -> dict:
+        """JSON-able config reconstructing the full layer
+        (``MsaHMMLayer.py:210-224`` parity). Components serialize by class
+        name + their own config; ``mesh``/``partition`` are runtime device
+        objects and are re-supplied to :meth:`from_config`."""
+
+        def spec(component):
+            return {
+                "class": type(component).__name__,
+                "config": component.get_config(),
+            }
+
+        return {
+            "transitions": spec(self.transitions),
+            "emissions": [spec(em) for em in self.emissions],
+            "num_seqs": self.num_seqs,
+            "use_prior": self.use_prior,
+            "sequence_weights": (
+                None
+                if self.sequence_weights is None
+                else np.asarray(self.sequence_weights).tolist()
+            ),
+            "parallel_factor": self.parallel_factor,
+        }
+
+    @classmethod
+    def from_config(cls, config: dict, mesh=None, partition=None):
+        from . import models
+
+        def build(spec):
+            component_cls = getattr(models, spec["class"], None)
+            if component_cls is None:
+                raise ValueError(
+                    f"unknown component class {spec['class']!r} (must be "
+                    "exported from hmm_layer_tpu.models)"
+                )
+            return component_cls.from_config(spec["config"])
+
+        return cls(
+            build(config["transitions"]),
+            [build(s) for s in config["emissions"]],
+            num_seqs=config.get("num_seqs"),
+            use_prior=config.get("use_prior", True),
+            sequence_weights=config.get("sequence_weights"),
+            parallel_factor=config.get("parallel_factor", 1),
+            mesh=mesh,
+            partition=partition,
+        )

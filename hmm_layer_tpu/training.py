@@ -238,12 +238,30 @@ class Trainer:
                 and step_idx
                 and step_idx % self.checkpoint_every == 0
             ):
+                # Full training state: params AND optimizer state, so a
+                # resumed run continues with intact moments/counters
+                # instead of a cold optimizer.
                 ckpt.save_checkpoint(
                     f"{self.checkpoint_dir}/step_{step_idx}.npz",
-                    params,
+                    {"params": params, "opt_state": opt_state},
                     step=step_idx,
                 )
         return params, opt_state, loss
+
+    def restore(self, path: str, params, opt_state):
+        """Load a :meth:`fit` checkpoint into (params, opt_state) templates.
+
+        ``params``/``opt_state`` supply the pytree structure (e.g. from
+        :meth:`init`); returns the restored pair. Accepts legacy
+        params-only checkpoints (pre-round-3) transparently.
+        """
+        try:
+            state = ckpt.load_checkpoint(
+                path, {"params": params, "opt_state": opt_state}
+            )
+            return state["params"], state["opt_state"]
+        except KeyError:
+            return ckpt.load_checkpoint(path, params), opt_state
 
     def score_models(self, params, batches: Iterable) -> np.ndarray:
         """Mean per-model log-likelihood over ``batches``; (num_models,)."""
