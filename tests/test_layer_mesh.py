@@ -199,6 +199,27 @@ class TestSeqShardedLayer:
         paths = meshed.viterbi(params, x)
         np.testing.assert_array_equal(np.asarray(paths), np.asarray(paths_ref))
 
+    def test_end_hints_through_sharded_route(self):
+        """Per-chunk end_hints compose with sequence sharding: hints mask
+        emissions before the sharded recursion, so meshed == dense."""
+        mesh = self._mesh()
+        dense, meshed, params = _gene_pred_layers(
+            {"batch": "data", "seq": "seq"}, mesh
+        )
+        x = _inputs(4, 32)
+        rng = np.random.default_rng(11)
+        hints = jnp.asarray(
+            rng.uniform(0.2, 1.0, (1, 4, 4, 2, 7)).astype(np.float32)
+        )
+        ll_ref = dense.log_likelihood(params, x, end_hints=hints)
+        ll = meshed.log_likelihood(params, x, end_hints=hints)
+        np.testing.assert_allclose(np.asarray(ll), np.asarray(ll_ref), rtol=2e-5)
+        lg_ref = dense.state_posterior_log_probs(params, x, end_hints=hints)
+        lg = meshed.state_posterior_log_probs(params, x, end_hints=hints)
+        np.testing.assert_allclose(
+            np.asarray(lg), np.asarray(lg_ref), rtol=2e-4, atol=2e-4
+        )
+
     def test_local_parallel_factor(self):
         """Explicit pf is device-local under seq sharding: L=32 over 4
         devices -> local 8, pf=2 divides it."""
