@@ -3,10 +3,12 @@
 ``recursion`` is the engine (forward/backward/posterior/viterbi with the
 chunked parallel scan and Pallas TPU fast paths); ``semiring`` holds the
 log-space / tropical building blocks; ``scan`` provides generic RNN-style
-drivers for custom cells; ``kmer`` encodes one-hot nucleotide sequences.
+drivers for custom cells; ``kmer`` encodes one-hot nucleotide sequences;
+``sparse`` runs the recursions over COO edge lists (huge multi-copy models);
+``plan7`` applies the implicit profile operator in O(L) structured form.
 """
 
-from . import em, kmer, recursion, sampling, scan, semiring
+from . import em, kmer, plan7, recursion, sampling, scan, semiring, sparse
 from .recursion import (
     ForwardResult,
     backward,
@@ -53,4 +55,6 @@ __all__ = [
     "sampling",
     "scan",
     "semiring",
+    "sparse",
+    "plan7",
 ]
