@@ -241,6 +241,7 @@ class GenePredEmissions(SimpleGenePredEmissions):
         l2_lambda: float = 0.01,
         trainable_nucleotides_at_exons: bool = False,
         compute_kmers_in_bf16: bool = True,
+        onehot_lookup_kmers: bool = False,
         **kwargs,
     ):
         self.num_states = 1 + 14 * kwargs.get("num_copies", 1)
@@ -279,6 +280,50 @@ class GenePredEmissions(SimpleGenePredEmissions):
         )
         # (2, 9, 64): pivot side x constrained states x 3-mer classes.
         self.codon_probs = np.stack([left, right], axis=0).astype(np.float32)
+        # Exact codon-factor LOOKUP for one-hot ACGTN inputs: the 3-mer
+        # outer products + (64 -> 9) contractions reduce to a base-5 codon
+        # index + one gather from a (125, 9) table (N and out-of-range
+        # positions marginalized into the table with the same uniform-1/4
+        # semantics as make_k_mers; parity <= 2e-12 vs the f32 path).
+        # MEASURED NEGATIVE ON TPU (v5e, b=32 L=9999: e2e posterior 3.26 ms
+        # vs 1.62 contraction — data-dependent vector gathers lose to MXU
+        # arithmetic); useful on CPU backends and as an exactness oracle.
+        # Also: nucleotide channels stop carrying gradients (they index a
+        # gather) — they are raw data in every supported pipeline.
+        self.onehot_lookup_kmers = onehot_lookup_kmers
+        self.codon_lookup = (
+            self._build_codon_lookup() if onehot_lookup_kmers else None
+        )
+
+    def _build_codon_lookup(self) -> np.ndarray:
+        """(2, 125, 9) float32: per pivot side, codon-pattern probability of
+        every 3-letter ACGTN string (base-5 index, first letter most
+        significant). Built numerically from ``encode_kmer_string`` so the
+        class layout and N-marginalization match ``make_k_mers`` exactly."""
+        letters = "ACGTN"
+        T = np.zeros((2, 125, 9), np.float32)
+        for j in range(125):
+            s = letters[j // 25] + letters[(j // 5) % 5] + letters[j % 5]
+            for side, pivot_left in ((0, True), (1, False)):
+                enc = np.asarray(
+                    encode_kmer_string(s, pivot_left=pivot_left)
+                ).reshape(64)
+                T[side, j] = self.codon_probs[side] @ enc
+        return T
+
+    def _codon_factor_lookup(self, nucleotides):
+        """(m, b, L, 9) codon factors via table lookup (one-hot inputs)."""
+        n_idx = jnp.argmax(nucleotides, axis=-1).astype(jnp.int32)  # (m,b,L)
+        fill = jnp.full(n_idx.shape[:-1] + (1,), 4, n_idx.dtype)  # 'N'
+        nxt1 = jnp.concatenate([n_idx[..., 1:], fill], axis=-1)
+        nxt2 = jnp.concatenate([n_idx[..., 2:], fill, fill], axis=-1)
+        prv1 = jnp.concatenate([fill, n_idx[..., :-1]], axis=-1)
+        prv2 = jnp.concatenate([fill, fill, n_idx[..., :-2]], axis=-1)
+        idx_left = 25 * n_idx + 5 * nxt1 + nxt2  # window (t, t+1, t+2)
+        idx_right = 25 * prv2 + 5 * prv1 + n_idx  # window (t-2, t-1, t)
+        TL = jnp.asarray(self.codon_lookup[0])
+        TR = jnp.asarray(self.codon_lookup[1])
+        return TL[idx_left] * TR[idx_right]
 
     def init_params(self, key, input_dim: int) -> dict:
         params = super().init_params(key, input_dim)
@@ -300,28 +345,33 @@ class GenePredEmissions(SimpleGenePredEmissions):
         )
 
         m, b, L = nucleotides.shape[:3]
-        nuc_flat = nucleotides.reshape(m * b, L, 5)
-        if self.compute_kmers_in_bf16:
-            nuc_flat = nuc_flat.astype(jnp.bfloat16)
-        left_3mers = make_k_mers(nuc_flat, k=3, pivot_left=True).reshape(m, b, L, 64)
-        right_3mers = make_k_mers(nuc_flat, k=3, pivot_left=False).reshape(
-            m, b, L, 64
-        )
-        # Two (64 -> 9) contractions (f32 accumulation), then the per-state
-        # product of both sides.
-        left_factor = jnp.einsum(
-            "mbls,qs->mblq",
-            left_3mers,
-            jnp.asarray(self.codon_probs[0]),
-            preferred_element_type=jnp.float32,
-        )
-        right_factor = jnp.einsum(
-            "mbls,qs->mblq",
-            right_3mers,
-            jnp.asarray(self.codon_probs[1]),
-            preferred_element_type=jnp.float32,
-        )
-        codon_factor = left_factor * right_factor  # (m, b, L, 9)
+        if self.onehot_lookup_kmers:
+            codon_factor = self._codon_factor_lookup(nucleotides)  # (m,b,L,9)
+        else:
+            nuc_flat = nucleotides.reshape(m * b, L, 5)
+            if self.compute_kmers_in_bf16:
+                nuc_flat = nuc_flat.astype(jnp.bfloat16)
+            left_3mers = make_k_mers(nuc_flat, k=3, pivot_left=True).reshape(
+                m, b, L, 64
+            )
+            right_3mers = make_k_mers(nuc_flat, k=3, pivot_left=False).reshape(
+                m, b, L, 64
+            )
+            # Two (64 -> 9) contractions (f32 accumulation), then the
+            # per-state product of both sides.
+            left_factor = jnp.einsum(
+                "mbls,qs->mblq",
+                left_3mers,
+                jnp.asarray(self.codon_probs[0]),
+                preferred_element_type=jnp.float32,
+            )
+            right_factor = jnp.einsum(
+                "mbls,qs->mblq",
+                right_3mers,
+                jnp.asarray(self.codon_probs[1]),
+                preferred_element_type=jnp.float32,
+            )
+            codon_factor = left_factor * right_factor  # (m, b, L, 9)
 
         if self.num_copies > 1:
             codon_factor = jnp.repeat(codon_factor, self.num_copies, axis=-1)
@@ -375,6 +425,7 @@ class GenePredEmissions(SimpleGenePredEmissions):
                 "l2_lambda": self.l2_lambda,
                 "trainable_nucleotides_at_exons": self.trainable_nucleotides_at_exons,
                 "compute_kmers_in_bf16": self.compute_kmers_in_bf16,
+                "onehot_lookup_kmers": self.onehot_lookup_kmers,
             }
         )
         return config

@@ -303,3 +303,51 @@ class TestKmerBf16:
         E16 = np.asarray(em16.emissions(params, x))
         E32 = np.asarray(em32.emissions(params, x))
         np.testing.assert_allclose(E16, E32, rtol=1e-6, atol=1e-9)
+
+
+class TestOnehotLookupKmers:
+    """The base-5 codon-index lookup path must equal the f32 contraction
+    EXACTLY on one-hot ACGTN inputs (incl. N letters and boundaries)."""
+
+    def _pair(self):
+        em_ref = GenePredEmissions(
+            START, STOP, INTRON_BEGIN, INTRON_END, compute_kmers_in_bf16=False
+        )
+        em_lut = GenePredEmissions(
+            START, STOP, INTRON_BEGIN, INTRON_END, onehot_lookup_kmers=True
+        )
+        params = em_ref.init_params(KEY, input_dim=15)
+        return em_ref, em_lut, params
+
+    def test_exact_on_onehot_inputs(self):
+        em_ref, em_lut, params = self._pair()
+        rng = np.random.default_rng(0)
+        cls = rng.dirichlet(np.ones(15), (1, 3, 40)).astype(np.float32)
+        letters = rng.integers(0, 5, (1, 3, 40))
+        letters[0, 0, :3] = 4  # leading Ns
+        letters[0, 1, -3:] = 4  # trailing Ns
+        nucs = np.eye(5, dtype=np.float32)[letters]
+        x = jnp.asarray(np.concatenate([cls, nucs], -1))
+        E_ref = np.asarray(em_ref.emissions(params, x))
+        E_lut = np.asarray(em_lut.emissions(params, x))
+        np.testing.assert_allclose(E_ref, E_lut, atol=1e-6, rtol=1e-6)
+
+    def test_class_input_grads_match(self):
+        em_ref, em_lut, params = self._pair()
+        rng = np.random.default_rng(1)
+        cls = rng.dirichlet(np.ones(15), (1, 2, 12)).astype(np.float32)
+        nucs = np.eye(5, dtype=np.float32)[rng.integers(0, 4, (1, 2, 12))]
+
+        def loss(em, c):
+            x = jnp.concatenate([jnp.asarray(c), jnp.asarray(nucs)], -1)
+            return jnp.sum(em.emissions(params, x) ** 2)
+
+        g_ref = np.asarray(jax.grad(lambda c: loss(em_ref, c))(cls))
+        g_lut = np.asarray(jax.grad(lambda c: loss(em_lut, c))(cls))
+        np.testing.assert_allclose(g_ref, g_lut, rtol=1e-5, atol=1e-7)
+
+    def test_config_roundtrip(self):
+        _, em_lut, _ = self._pair()
+        em2 = GenePredEmissions.from_config(em_lut.get_config())
+        assert em2.onehot_lookup_kmers is True
+        np.testing.assert_allclose(em2.codon_lookup, em_lut.codon_lookup)
