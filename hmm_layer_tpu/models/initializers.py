@@ -26,6 +26,7 @@ __all__ = [
     "match_transition_init",
     "make_default_transition_init",
     "make_default_flank_init",
+    "make_default_emission_init",
     "make_15_class_emission_kernel",
     "init_to_config",
     "init_from_config",
@@ -182,6 +183,37 @@ def match_transition_init(val, i, scale=0.1):
 
 def make_default_flank_init():
     return constant_init(0.0)
+
+
+def make_default_emission_init(
+    background=None, alphabet_size: int = 25, epsilon: float = 1e-3
+):
+    """Match-emission logits from a background amino-acid distribution.
+
+    The capability of the reference's ``make_default_emission_init``
+    (``Initializers.py:175-177``), whose transcription takes the log of an
+    already-log kernel and uses the nucleotide alphabet (SURVEY §4 defect
+    8); upstream learnMSA initializes from a trained amino-acid background.
+    Here the default background is the LG substitution model's stationary
+    frequencies (``utils.substitution.lg_matrix``) embedded in the first 20
+    channels, ``epsilon`` mass on any extra channels, renormalized; the
+    logits are ``log(background)`` so the emission softmax starts exactly
+    at the background distribution.
+    """
+    if background is None:
+        from ..utils.substitution import lg_matrix
+
+        _, background = lg_matrix()
+    background = np.asarray(background, np.float64)
+    if background.shape[-1] > alphabet_size:
+        raise ValueError(
+            f"background has {background.shape[-1]} channels > "
+            f"alphabet_size {alphabet_size}"
+        )
+    full = np.full((alphabet_size,), epsilon, np.float64)
+    full[: background.shape[-1]] = background / background.sum()
+    full = full / full.sum()
+    return tiled_dist_init(np.log(full).astype(np.float32))
 
 
 def make_default_transition_init(

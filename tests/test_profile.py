@@ -226,3 +226,48 @@ class TestProfileLayerEndToEnd:
             lP.log_likelihood(params, x),
             rtol=1e-4,
         )
+
+
+class TestBackgroundEmissionInit:
+    """make_default_emission_init (SURVEY defect 8's intended capability):
+    emission softmax starts exactly at the background distribution."""
+
+    def test_match_rows_equal_background(self):
+        from hmm_layer_tpu.models import initializers as inits
+        from hmm_layer_tpu.utils.substitution import lg_matrix
+
+        init = inits.make_default_emission_init()
+        em = ProfileEmissions(5, emission_init=init)
+        params = em.init_params(KEY, input_dim=26)
+        B = np.asarray(em.make_B(params))
+        _, bg = lg_matrix()
+        bg = np.asarray(bg, np.float64)
+        full = np.full(25, 1e-3)
+        full[:20] = bg / bg.sum()
+        full = full / full.sum()
+        np.testing.assert_allclose(
+            B[0, 1:6, :25], np.broadcast_to(full, (5, 25)), rtol=1e-5
+        )
+
+    def test_spec_roundtrip(self):
+        import json
+
+        from hmm_layer_tpu.models import initializers as inits
+
+        init = inits.make_default_emission_init()
+        spec = json.loads(json.dumps(inits.init_to_config(init)))
+        init2 = inits.init_from_config(spec)
+        a = np.asarray(init(KEY, (4, 25)))
+        b = np.asarray(init2(KEY, (4, 25)))
+        np.testing.assert_array_equal(a, b)
+
+    def test_custom_background_and_size_check(self):
+        import pytest
+
+        from hmm_layer_tpu.models import initializers as inits
+
+        init = inits.make_default_emission_init([0.5, 0.5], alphabet_size=4)
+        v = np.exp(np.asarray(init(KEY, (2, 4))))
+        np.testing.assert_allclose(v.sum(-1), 1.0, rtol=1e-5)
+        with pytest.raises(ValueError, match="channels"):
+            inits.make_default_emission_init(np.ones(30), alphabet_size=25)
