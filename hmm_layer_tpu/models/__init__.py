@@ -1,5 +1,11 @@
 """Model families: pluggable transition and emission parameterizations."""
 
+from .annotation import (
+    GeneFeature,
+    genes_to_gff3,
+    paths_to_genes,
+    write_gff3,
+)
 from .dirichlet import DirichletMixture, dirichlet_log_pdf, load_mixture_model
 from .gene_pred_emissions import GenePredEmissions, SimpleGenePredEmissions
 from .gene_pred_transitions import (
@@ -22,6 +28,7 @@ __all__ = [
     "AminoAcidPrior",
     "DirichletMixture",
     "FixedDirichlet",
+    "GeneFeature",
     "GenePredEmissions",
     "GenePredMultiTransitions",
     "GenePredTransitions",
@@ -32,9 +39,12 @@ __all__ = [
     "SimpleGenePredEmissions",
     "SimpleGenePredTransitions",
     "dirichlet_log_pdf",
+    "genes_to_gff3",
     "get_num_states",
     "get_num_states_implicit",
     "load_mixture_model",
+    "paths_to_genes",
     "paths_to_msa",
+    "write_gff3",
     "write_msa",
 ]

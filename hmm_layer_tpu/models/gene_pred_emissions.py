@@ -125,6 +125,18 @@ class SimpleGenePredEmissions:
             )
         else:
             kernel = jnp.asarray(self.init, jnp.float32)
+            if (
+                self.share_intron_parameters
+                and kernel.shape[-2] == self.num_states
+            ):
+                # Full-state init (e.g. make_15_class_emission_kernel) with
+                # shared introns: keep Ir + the I0 block, drop the I1/I2
+                # rows the expansion re-derives from I0.
+                c = self.num_copies
+                kernel = jnp.concatenate(
+                    [kernel[..., : 1 + c, :], kernel[..., 1 + 3 * c :, :]],
+                    axis=-2,
+                )
         params = {"emission_kernel": kernel}
         if self.emit_embeddings:
             params["embedding_emission_kernel"] = 0.02 * jax.random.normal(

@@ -1,0 +1,236 @@
+"""Gene-structure annotation (state path -> GFF3) tests.
+
+State indices follow the gene-pred state order
+(``models/gene_pred_transitions.py``): 15-state grammar
+``Ir=0, I0-2=1..3, E0-2=4..6, START=7, EI0-2=8..10, IE0-2=11..13,
+STOP=14``.
+"""
+
+import numpy as np
+import pytest
+
+from hmm_layer_tpu.models.annotation import (
+    EI,
+    EXON,
+    IE,
+    INTERGENIC,
+    INTRON,
+    START,
+    STOP,
+    GeneFeature,
+    classify_states,
+    genes_to_gff3,
+    paths_to_genes,
+    write_gff3,
+)
+
+Ir, I0, I1, I2, E0, E1, E2 = range(7)
+ST, EI0, EI1, EI2, IE0, IE1, IE2, SP = range(7, 15)
+
+
+class TestClassify:
+    def test_15_state(self):
+        kind, pos, copy = classify_states(15)
+        assert kind[Ir] == INTERGENIC
+        assert list(kind[I0 : I2 + 1]) == [INTRON] * 3
+        assert list(kind[E0 : E2 + 1]) == [EXON] * 3
+        assert kind[ST] == START and kind[SP] == STOP
+        assert list(kind[EI0 : EI2 + 1]) == [EI] * 3
+        assert list(kind[IE0 : IE2 + 1]) == [IE] * 3
+        # codon positions: E_i at i; EI_i follows E_i; IE_i precedes E_i.
+        assert list(pos[E0 : E2 + 1]) == [0, 1, 2]
+        assert pos[ST] == 0 and pos[SP] == 2
+        assert list(pos[EI0 : EI2 + 1]) == [1, 2, 0]
+        assert list(pos[IE0 : IE2 + 1]) == [2, 0, 1]
+        assert pos[Ir] == -1
+        assert np.all(copy == 0)
+
+    def test_multi_copy(self):
+        kind, pos, copy = classify_states(1 + 14 * 3)
+        # State order interleaves phase blocks of width k=3.
+        assert kind[0] == INTERGENIC
+        assert list(copy[1:4]) == [0, 1, 2]  # I0 x3
+        assert kind[1 + 6 * 3] == START and copy[1 + 6 * 3 + 2] == 2
+        assert pos[1 + 3 * 3 + 3] == 1  # first E1 copy
+
+    def test_simple_grammar(self):
+        kind, pos, _ = classify_states(7)
+        assert kind[0] == INTERGENIC
+        assert list(kind[1:4]) == [INTRON] * 3
+        assert list(kind[4:7]) == [EXON] * 3
+        assert list(pos[4:7]) == [0, 1, 2]
+
+    def test_ambiguous_requires_flag(self):
+        # 1+14*3 = 43 = 1+6*7 parses in both grammars; default is full.
+        kind_full, _, _ = classify_states(43)
+        kind_simple, _, _ = classify_states(43, simple=True)
+        assert (kind_full != INTERGENIC).sum() == 42
+        assert (kind_simple == EXON).sum() == 21
+
+    def test_invalid(self):
+        with pytest.raises(ValueError):
+            classify_states(16)
+
+
+class TestPathsToGenes:
+    def test_single_intronless_gene(self):
+        # Ir Ir START E1 E2 E0 E1 STOP Ir  (two codons: START..E1 + E2..STOP)
+        path = [Ir, Ir, ST, E1, E2, E0, E1, SP, Ir]
+        (g,) = paths_to_genes(path, num_states=15)
+        assert (g.start, g.end) == (2, 8)
+        assert not g.partial_5p and not g.partial_3p
+        assert g.cds == [(2, 8, 0)]
+        assert g.introns == []
+
+    def test_gene_with_intron_and_phase(self):
+        # START E1 EI1 [I1 x4] IE1 E1 STOP : codon positions
+        # 0 1 2 | intron | 0 1 2 — six coding bases, two codons.
+        path = [Ir, ST, E1, EI1, I1, I1, I1, I1, IE1, E1, SP, Ir]
+        (g,) = paths_to_genes(path, num_states=15)
+        assert (g.start, g.end) == (1, 11)
+        assert g.cds == [(1, 4, 0), (8, 11, 0)]
+        assert g.introns == [(4, 8)]
+
+    def test_phase_nonzero(self):
+        # Intron after codon position 0: E0 -> EI0(pos 1) -> I0 -> IE0(pos 2)
+        # -> E0. Second CDS segment starts at codon position 2 -> phase 1.
+        path = [ST, E1, E2, E0, EI0, I0, I0, IE0, E0, E1, SP]
+        (g,) = paths_to_genes(path, num_states=15)
+        assert g.cds == [(0, 5, 0), (7, 11, 1)]
+        assert g.introns == [(5, 7)]
+
+    def test_window_truncated_gene(self):
+        # Path enters the window mid-gene (no START) and leaves mid-gene.
+        path = [E2, E0, E1, EI1, I1, I1]
+        (g,) = paths_to_genes(path, num_states=15)
+        assert g.partial_5p and g.partial_3p
+        assert g.cds == [(0, 4, 1)]  # first base at codon position 2
+        assert g.introns == [(4, 6)]
+
+    def test_truncated_inside_intron(self):
+        path = [I2, I2, IE2, E2, SP]
+        (g,) = paths_to_genes(path, num_states=15)
+        assert g.partial_5p and not g.partial_3p
+        assert g.introns[0] == (0, 2)
+        assert g.cds == [(2, 5, 2)]  # IE2 is codon position 1 -> phase 2
+
+    def test_two_genes_offset_and_length(self):
+        path = [Ir, ST, E1, SP, Ir, Ir, ST, E1, SP, Ir, Ir, Ir]
+        genes = paths_to_genes(path, num_states=15, offset=100, length=9)
+        assert [(g.start, g.end) for g in genes] == [(101, 104), (106, 109)]
+
+    def test_all_intergenic(self):
+        assert paths_to_genes([Ir] * 8, num_states=15) == []
+
+    def test_multi_copy_attribution(self):
+        k = 2
+        Irm, start1 = 0, 1 + 6 * k + 1  # START copy 1
+        e1_1 = 1 + 3 * k + k + 1  # E1 copy 1
+        stop1 = 1 + 13 * k + 1
+        path = [Irm, start1, e1_1, stop1, Irm]
+        (g,) = paths_to_genes(path, num_states=1 + 14 * k)
+        assert g.copy == 1
+        assert g.cds == [(1, 4, 0)]
+
+    def test_simple_grammar_genes(self):
+        # 7-state: Ir=0, I0-2=1..3, E0-2=4..6. Coding = E runs only.
+        path = [0, 4, 5, 6, 1, 1, 4, 5, 6, 0]
+        (g,) = paths_to_genes(path, num_states=7)
+        # Simple grammar has no START/STOP states: genes are always partial.
+        assert g.partial_5p and g.partial_3p
+        assert g.cds == [(1, 4, 0), (6, 9, 0)]
+        assert g.introns == [(4, 6)]
+
+
+class TestGff3:
+    def test_render_and_write(self, tmp_path):
+        path = [Ir, ST, E1, EI1, I1, I1, IE1, E1, SP]
+        genes = paths_to_genes(path, num_states=15)
+        lines = genes_to_gff3(genes, "chr1")
+        types = [ln.split("\t")[2] for ln in lines]
+        assert types == ["gene", "mRNA", "CDS", "CDS", "intron"]
+        gene_row = lines[0].split("\t")
+        assert (gene_row[3], gene_row[4]) == ("2", "9")  # 1-based inclusive
+        cds_row = lines[2].split("\t")
+        assert cds_row[7] == "0" and cds_row[6] == "+"
+        assert "Parent=gene1.t1" in lines[2]
+
+        out = tmp_path / "out.gff3"
+        n = write_gff3({"chr1": genes, "chr2": []}, out)
+        assert n == 1
+        text = out.read_text()
+        assert text.startswith("##gff-version 3\n")
+        assert "chr1\thmm_layer_tpu\tgene\t2\t9" in text
+
+    def test_partial_flag_rendered(self):
+        lines = genes_to_gff3(
+            [GeneFeature(start=0, end=3, cds=[(0, 3, 1)], partial_5p=True)],
+            "ctg",
+        )
+        assert "partial_5p=true" in lines[0]
+        assert lines[2].split("\t")[7] == "1"
+
+
+class TestRoundTripWithEngine:
+    """Decode a planted gene structure with the real 15-state model and
+    check the converter recovers it (engine -> annotation integration)."""
+
+    def test_viterbi_to_gff(self):
+        import jax
+        import jax.numpy as jnp
+
+        from hmm_layer_tpu.layer import HMMLayer
+        from hmm_layer_tpu.models import GenePredEmissions, GenePredTransitions
+
+        # Gene with one 4-base intron. Codon positions through the path:
+        # ST(0) E1(1) E2(2) E0(0) E1(1) EI1(2) | intron | IE1(0) E1(1) SP(2).
+        true_path = np.array(
+            [Ir, Ir, ST, E1, E2, E0, E1, EI1, I1, I1, I1, I1, IE1, E1, SP, Ir]
+        )
+        L = len(true_path)
+        nt = "ACGT"
+        rng = np.random.default_rng(0)
+        bases = [nt[i] for i in rng.integers(0, 4, size=L)]
+        bases[2:5] = "ATG"  # start codon at ST(2), E1(3), E2(4)
+        bases[8:10] = "GT"  # donor: first two intron bases (t=8,9)
+        bases[10:12] = "AG"  # acceptor: last two intron bases (t=10,11)
+        bases[12:15] = "TAA"  # stop codon at IE1(12), E1(13), SP(14)
+        onehot = np.zeros((L, 5), np.float32)
+        for t, b in enumerate(bases):
+            onehot[t, nt.index(b)] = 1.0
+
+        # Near-one-hot class probabilities pointing at the true 15 states.
+        class_probs = np.full((L, 15), 0.01, np.float32)
+        class_probs[np.arange(L), true_path] = 1.0
+        class_probs /= class_probs.sum(-1, keepdims=True)
+        inputs = jnp.asarray(
+            np.concatenate([class_probs, onehot], -1)[None, None]
+        )
+
+        from hmm_layer_tpu.models.initializers import (
+            make_15_class_emission_kernel,
+        )
+
+        layer = HMMLayer(
+            GenePredTransitions(),
+            GenePredEmissions(
+                start_codons=[("ATG", 1.0)],
+                stop_codons=[("TAA", 1.0)],
+                intron_begin_pattern=[("NGT", 1.0)],
+                intron_end_pattern=[("AGN", 1.0)],
+                num_copies=1,
+                # Smoothed-identity class kernel so the near-one-hot class
+                # inputs actually identify states (full 15-row init; the
+                # shared-intron rows are sliced out by init_params).
+                init=make_15_class_emission_kernel(),
+            ),
+        )
+        params = layer.init_params(jax.random.PRNGKey(0), input_dim=15)
+        decoded = np.asarray(layer.viterbi(params, inputs))[0, 0]
+        np.testing.assert_array_equal(decoded, true_path)
+
+        (g,) = paths_to_genes(decoded, num_states=15)
+        assert (g.start, g.end) == (2, 15)
+        assert g.cds == [(2, 8, 0), (12, 15, 0)]
+        assert g.introns == [(8, 12)]
+        assert not g.partial_5p and not g.partial_3p
