@@ -1,0 +1,304 @@
+"""Command-line entry points: ``python -m hmm_layer_tpu <command>``.
+
+The reference is a bare layer library — its two upstream projects are
+end-user tools (learnMSA aligns a FASTA of proteins; Tiberius annotates a
+genome), so a complete replacement needs the same one-command workflows:
+
+* ``align``   — train profile HMMs on a protein FASTA, select the best
+  model, Viterbi-align every sequence, write an aligned FASTA
+  (learnMSA's ``-i/-o`` usage).
+* ``predict`` — Viterbi-decode DNA contigs through the 15-state gene-pred
+  HMM (optionally with upstream class probabilities and trained
+  parameters) and write a GFF3 annotation (the Tiberius output format).
+
+Both commands run on whatever backend JAX selects (the TPU when present);
+``--cpu`` forces the CPU backend. Heavy imports happen inside ``main`` so
+``import hmm_layer_tpu.cli`` stays backend-free (repo invariant).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+__all__ = ["main", "build_parser"]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="hmm_layer_tpu",
+        description="TPU-native differentiable HMM toolkit",
+    )
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    al = sub.add_parser(
+        "align", help="train profile HMMs on a protein FASTA and align it"
+    )
+    al.add_argument("-i", "--input", required=True, help="protein FASTA")
+    al.add_argument("-o", "--output", required=True, help="aligned FASTA out")
+    al.add_argument("--models", type=int, default=3,
+                    help="candidate model count trained jointly")
+    al.add_argument("--steps", type=int, default=100, help="training steps")
+    al.add_argument("--batch", type=int, default=32)
+    al.add_argument("--lr", type=float, default=0.05)
+    al.add_argument("--model-length", type=int, default=None,
+                    help="match-state count (default: from sequence lengths)")
+    al.add_argument("--seed", type=int, default=0)
+    al.add_argument("--cpu", action="store_true", help="force CPU backend")
+
+    pr = sub.add_parser(
+        "predict", help="annotate DNA contigs with the gene-prediction HMM"
+    )
+    pr.add_argument("-i", "--input", required=True, help="DNA FASTA")
+    pr.add_argument("-o", "--output", required=True, help="GFF3 out")
+    pr.add_argument("--class-probs", default=None,
+                    help=".npz of per-contig (L, 15) class probabilities "
+                         "from an upstream network (keys = contig names)")
+    pr.add_argument("--params", default=None,
+                    help="trained parameter checkpoint (.npz) to load")
+    pr.add_argument("--window", type=int, default=1024,
+                    help="decode window length over long contigs")
+    pr.add_argument("--overlap", type=int, default=64)
+    pr.add_argument("--batch", type=int, default=8)
+    pr.add_argument("--parallel-factor", type=int, default=8)
+    pr.add_argument("--cpu", action="store_true", help="force CPU backend")
+    return ap
+
+
+def _force_cpu():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+# ---------------------------------------------------------------- align
+
+
+def _model_lengths(seq_lengths, n_models: int, override):
+    """learnMSA-style candidate lengths around ~0.8 x median residue count."""
+    if override is not None:
+        base = int(override)
+    else:
+        base = int(round(0.8 * float(sorted(seq_lengths)[len(seq_lengths) // 2])))
+    base = max(base, 2)
+    half = (n_models - 1) // 2
+    return [max(2, base - half + i) for i in range(n_models)]
+
+
+def _align(args) -> int:
+    if args.cpu:
+        _force_cpu()
+    import jax
+    import numpy as np
+    import optax
+
+    from . import data
+    from .layer import HMMLayer
+    from .models import (
+        ProfileEmissions,
+        ProfileTransitions,
+        paths_to_msa,
+        write_msa,
+    )
+    from .training import Trainer
+
+    records = list(data.read_fasta(args.input))
+    if not records:
+        print(f"error: no sequences in {args.input}", file=sys.stderr)
+        return 2
+    names = [name for name, _ in records]
+    encoded = [data.encode_protein(seq) for _, seq in records]  # L+1 rows
+    seq_lens = [e.shape[0] - 1 for e in encoded]
+
+    m = max(1, args.models)
+    lengths = _model_lengths(seq_lens, m, args.model_length)
+    layer = HMMLayer(
+        ProfileTransitions(lengths),
+        ProfileEmissions(lengths),
+        use_prior=True,
+        num_seqs=len(records),
+    )
+    trainer = Trainer(layer, optimizer=optax.adam(args.lr))
+    params, opt_state = trainer.init(
+        jax.random.PRNGKey(args.seed), input_dim=encoded[0].shape[-1]
+    )
+
+    def batches(n_steps):
+        """Cycle padded batches; broadcast over the model axis."""
+        step = 0
+        while step < n_steps:
+            for batch, _ in data.pad_batches(encoded, args.batch):
+                if step >= n_steps:
+                    return
+                yield np.broadcast_to(batch[None], (m,) + batch.shape)
+                step += 1
+
+    print(
+        f"aligning {len(records)} sequences: training {m} profile "
+        f"models (lengths {lengths}) for {args.steps} steps ..."
+    )
+    result = trainer.fit_select(
+        params,
+        opt_state,
+        batches=batches(args.steps),
+        score_batches=batches(max(1, len(records) // args.batch + 1)),
+        keep=1,
+    )
+    best = int(result.ranking[0])
+    print(
+        "per-model held-out loglik:",
+        np.round(np.asarray(result.scores), 3),
+        f"-> selected model {best} (length {lengths[best]})",
+    )
+
+    # Decode everything in one padded batch so insertion columns line up
+    # across all sequences (alignment columns are global).
+    L_max = max(e.shape[0] for e in encoded)
+    full = np.zeros((len(encoded), L_max, encoded[0].shape[-1]), np.float32)
+    full[:, :, -1] = 1.0  # terminal padding
+    for i, e in enumerate(encoded):
+        full[i, : e.shape[0]] = e
+    x = np.broadcast_to(full[None], (1,) + full.shape)
+    paths = np.asarray(result.layer.viterbi(result.selected_params, x))[0]
+    residues = np.argmax(full, axis=-1)
+    rows = paths_to_msa(
+        paths,
+        residues,
+        model_length=lengths[best],
+        seq_lengths=np.asarray(seq_lens),
+    )
+    write_msa(args.output, names, rows)
+    print(f"wrote {len(rows)} aligned rows ({len(rows[0])} columns) to "
+          f"{args.output}")
+    return 0
+
+
+# -------------------------------------------------------------- predict
+
+
+def _predict(args) -> int:
+    if args.cpu:
+        _force_cpu()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from . import data
+    from .layer import HMMLayer
+    from .models import (
+        GenePredEmissions,
+        GenePredTransitions,
+        paths_to_genes,
+        write_gff3,
+    )
+    from .models.initializers import make_15_class_emission_kernel
+    from .utils import checkpoint as ckpt
+
+    # One fixed window length for every contig (short contigs are padded by
+    # window_batches), rounded to a multiple of the chunk parallel factor.
+    pf = max(1, args.parallel_factor)
+    window = max(pf, args.window - args.window % pf)
+
+    layer = HMMLayer(
+        GenePredTransitions(),
+        GenePredEmissions(
+            start_codons=[("ATG", 1.0)],
+            stop_codons=[("TAG", 0.34), ("TAA", 0.33), ("TGA", 0.33)],
+            intron_begin_pattern=[
+                ("NGT", 0.99), ("NGC", 0.005), ("NAT", 0.005)
+            ],
+            intron_end_pattern=[("AGN", 0.99), ("ACN", 0.01)],
+            # Identity-ish class kernel: upstream class probabilities pass
+            # through to the matching states.
+            init=make_15_class_emission_kernel(),
+        ),
+        parallel_factor=pf,
+    )
+    params = layer.init_params(jax.random.PRNGKey(0), input_dim=15)
+    if args.params:
+        params = ckpt.load_checkpoint(args.params, like=params)
+
+    class_npz = np.load(args.class_probs) if args.class_probs else None
+
+    def class_probs_for(name, L):
+        if class_npz is not None:
+            if name not in class_npz.files:
+                raise KeyError(
+                    f"contig {name!r} missing from {args.class_probs} "
+                    f"(has {class_npz.files})"
+                )
+            arr = np.asarray(class_npz[name], np.float32)
+            if arr.shape != (L, 15):
+                raise ValueError(
+                    f"class probs for {name!r} have shape {arr.shape}, "
+                    f"expected {(L, 15)}"
+                )
+            return arr
+        # No upstream network: a mostly-intergenic prior leaves the codon
+        # structure and transition geometry to carve out genes.
+        probs = np.full((L, 15), 0.02, np.float32)
+        probs[:, 0] = 0.72
+        return probs
+
+    def decode_contig(enc, cls):
+        L = enc.shape[0]
+        track = np.zeros(L, np.int32)
+        overlap = min(args.overlap, window - 1)
+        for wins, starts in data.window_batches(
+            enc, window, args.batch, overlap
+        ):
+            cls_win = np.stack(
+                [
+                    cls[st : st + window]
+                    if st >= 0 and st + window <= L
+                    else _pad_cls(cls, st, window)
+                    for st in starts
+                ]
+            )
+            x = jnp.asarray(
+                np.concatenate([cls_win, wins], axis=-1)[None]
+            )
+            paths = np.asarray(layer.viterbi(params, x))[0]
+            for i, st in enumerate(starts):
+                if st < 0:
+                    continue
+                end = min(st + window, L)
+                lo = st + overlap if st > 0 else st
+                track[lo:end] = paths[i, lo - st : end - st]
+        return track
+
+    def _pad_cls(cls, st, window):
+        if st < 0:
+            return np.full((window, 15), 1.0 / 15.0, np.float32)
+        chunk = cls[st : st + window]
+        if chunk.shape[0] < window:
+            pad = np.full(
+                (window - chunk.shape[0], 15), 1.0 / 15.0, np.float32
+            )
+            chunk = np.concatenate([chunk, pad])
+        return chunk
+
+    genes_by_seq = {}
+    for name, seq in data.read_fasta(args.input):
+        enc = data.encode_dna(seq)
+        cls = class_probs_for(name, enc.shape[0])
+        track = decode_contig(enc, cls)
+        genes = paths_to_genes(track, num_states=15)
+        genes_by_seq[name] = genes
+        print(f"{name}: L={len(seq)}, {len(genes)} genes")
+    n = write_gff3(genes_by_seq, args.output)
+    print(f"wrote {n} genes to {args.output}")
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.command == "align":
+        return _align(args)
+    if args.command == "predict":
+        return _predict(args)
+    raise AssertionError(args.command)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,175 @@
+"""End-to-end CLI tests: align (protein FASTA -> aligned FASTA) and
+predict (DNA FASTA -> GFF3), driven in-process via cli.main()."""
+
+import numpy as np
+import pytest
+
+from hmm_layer_tpu import data
+from hmm_layer_tpu.cli import _model_lengths, build_parser, main
+
+
+class TestParser:
+    def test_requires_command(self):
+        with pytest.raises(SystemExit):
+            build_parser().parse_args([])
+
+    def test_align_args(self):
+        args = build_parser().parse_args(
+            ["align", "-i", "in.fa", "-o", "out.fa", "--models", "2"]
+        )
+        assert args.command == "align" and args.models == 2
+
+    def test_model_lengths(self):
+        assert _model_lengths([10, 12, 14], 3, None) == [9, 10, 11]
+        assert _model_lengths([10], 1, 5) == [5]
+        assert _model_lengths([3, 3], 3, None) == [2, 2, 3]
+
+
+class TestAlign:
+    def test_align_end_to_end(self, tmp_path):
+        rng = np.random.default_rng(0)
+        consensus = "MKLVAEQWRD"
+        fasta = tmp_path / "prot.fa"
+        names = []
+        with open(fasta, "w") as fh:
+            for i in range(8):
+                seq = "".join(
+                    c
+                    for c in consensus
+                    if rng.random() > 0.1  # deletions
+                )
+                if rng.random() < 0.5:
+                    seq += "AG"  # C-terminal insertions
+                names.append(f"seq{i}")
+                fh.write(f">seq{i} desc\n{seq}\n")
+        out = tmp_path / "aln.fa"
+        rc = main(
+            [
+                "align",
+                "-i", str(fasta),
+                "-o", str(out),
+                "--models", "2",
+                "--steps", "6",
+                "--batch", "8",
+                "--cpu",
+            ]
+        )
+        assert rc == 0
+        aln = list(data.read_fasta(out))
+        assert [n for n, _ in aln] == names
+        rows = [r for _, r in aln]
+        # Aligned FASTA: equal-length rows whose residues (minus gaps)
+        # reproduce the input sequences.
+        assert len({len(r) for r in rows}) == 1
+        orig = dict(
+            (n, s) for n, s in data.read_fasta(fasta)
+        )
+        for n, row in aln:
+            residues = row.replace("-", "").replace(".", "").upper()
+            assert residues == orig[n]
+
+    def test_align_empty_input(self, tmp_path):
+        fasta = tmp_path / "empty.fa"
+        fasta.write_text("")
+        rc = main(
+            ["align", "-i", str(fasta), "-o", str(tmp_path / "o"), "--cpu"]
+        )
+        assert rc == 2
+
+
+class TestPredict:
+    def _write_contig(self, path, L=96):
+        rng = np.random.default_rng(1)
+        seq = "".join("ACGT"[i] for i in rng.integers(0, 4, size=L))
+        with open(path, "w") as fh:
+            fh.write(f">ctg1\n{seq}\n")
+        return seq
+
+    def test_predict_uniform_prior(self, tmp_path):
+        fasta = tmp_path / "dna.fa"
+        self._write_contig(fasta)
+        out = tmp_path / "out.gff3"
+        rc = main(
+            [
+                "predict",
+                "-i", str(fasta),
+                "-o", str(out),
+                "--window", "48",
+                "--overlap", "8",
+                "--parallel-factor", "4",
+                "--cpu",
+            ]
+        )
+        assert rc == 0
+        text = out.read_text()
+        assert text.startswith("##gff-version 3\n")
+        # With a strong intergenic prior the decode is usually all-Ir;
+        # any reported feature must be well-formed.
+        for line in text.splitlines()[1:]:
+            cols = line.split("\t")
+            assert len(cols) == 9 and cols[0] == "ctg1"
+            assert 1 <= int(cols[3]) <= int(cols[4]) <= 96
+
+    def test_predict_with_class_probs(self, tmp_path):
+        # Plant a gene via near-one-hot class probabilities (the upstream
+        # network's job) and check it comes back out as GFF3 rows.
+        Ir, E0, E1, E2, ST, SP = 0, 4, 5, 6, 7, 14
+        true_path = np.zeros(32, np.int64)
+        gene = [ST, E1, E2, E0, E1, E2, E0, E1, SP]
+        true_path[10 : 10 + len(gene)] = gene
+        nt = "ACGT"
+        rng = np.random.default_rng(2)
+        bases = [nt[i] for i in rng.integers(0, 4, size=32)]
+        # Three planted codons: ATG (start, t=10..12), GCT (mid-exon,
+        # non-stop — the E2 at t=15 right-window sees it), TAA (stop,
+        # t=16..18, ending at the STOP state).
+        bases[10:13] = "ATG"
+        bases[13:16] = "GCT"
+        bases[16:19] = "TAA"
+        fasta = tmp_path / "dna.fa"
+        with open(fasta, "w") as fh:
+            fh.write(">ctg1\n" + "".join(bases) + "\n")
+
+        cls = np.full((32, 15), 0.005, np.float32)
+        cls[np.arange(32), true_path] = 1.0
+        cls /= cls.sum(-1, keepdims=True)
+        npz = tmp_path / "cls.npz"
+        np.savez(npz, ctg1=cls)
+
+        out = tmp_path / "out.gff3"
+        rc = main(
+            [
+                "predict",
+                "-i", str(fasta),
+                "-o", str(out),
+                "--class-probs", str(npz),
+                "--window", "32",
+                "--parallel-factor", "1",
+                "--cpu",
+            ]
+        )
+        assert rc == 0
+        lines = [
+            ln for ln in out.read_text().splitlines() if "\tgene\t" in ln
+        ]
+        assert len(lines) == 1
+        cols = lines[0].split("\t")
+        assert (cols[3], cols[4]) == ("11", "19")  # 1-based inclusive
+
+    def test_predict_missing_contig_key(self, tmp_path):
+        fasta = tmp_path / "dna.fa"
+        self._write_contig(fasta, L=16)
+        npz = tmp_path / "cls.npz"
+        np.savez(npz, other=np.zeros((16, 15), np.float32))
+        with pytest.raises(KeyError):
+            main(
+                [
+                    "predict",
+                    "-i", str(fasta),
+                    "-o", str(tmp_path / "o.gff3"),
+                    "--class-probs", str(npz),
+                    "--window", "16",
+                    "--parallel-factor", "1",
+                    "--cpu",
+                ]
+            )
