@@ -53,7 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("-o", "--output", required=True, help="GFF3 out")
     pr.add_argument("--class-probs", default=None,
                     help=".npz of per-contig (L, 15) class probabilities "
-                         "from an upstream network (keys = contig names)")
+                         "from an upstream network (keys = contig names; "
+                         "'<name>__rc' keys score the reverse strand)")
+    pr.add_argument("--both-strands", action="store_true",
+                    help="also decode the reverse complement and report "
+                         "minus-strand genes")
     pr.add_argument("--params", default=None,
                     help="trained parameter checkpoint (.npz) to load")
     pr.add_argument("--window", type=int, default=1024,
@@ -191,6 +195,7 @@ def _predict(args) -> int:
         paths_to_genes,
         write_gff3,
     )
+    from .models.annotation import flip_genes
     from .models.initializers import make_15_class_emission_kernel
     from .utils import checkpoint as ckpt
 
@@ -220,20 +225,22 @@ def _predict(args) -> int:
 
     class_npz = np.load(args.class_probs) if args.class_probs else None
 
-    def class_probs_for(name, L):
+    def class_probs_for(name, L, required=True):
         if class_npz is not None:
             if name not in class_npz.files:
-                raise KeyError(
-                    f"contig {name!r} missing from {args.class_probs} "
-                    f"(has {class_npz.files})"
-                )
-            arr = np.asarray(class_npz[name], np.float32)
-            if arr.shape != (L, 15):
-                raise ValueError(
-                    f"class probs for {name!r} have shape {arr.shape}, "
-                    f"expected {(L, 15)}"
-                )
-            return arr
+                if required:
+                    raise KeyError(
+                        f"contig {name!r} missing from {args.class_probs} "
+                        f"(has {class_npz.files})"
+                    )
+            else:
+                arr = np.asarray(class_npz[name], np.float32)
+                if arr.shape != (L, 15):
+                    raise ValueError(
+                        f"class probs for {name!r} have shape {arr.shape}, "
+                        f"expected {(L, 15)}"
+                    )
+                return arr
         # No upstream network: a mostly-intergenic prior leaves the codon
         # structure and transition geometry to carve out genes.
         probs = np.full((L, 15), 0.02, np.float32)
@@ -284,6 +291,16 @@ def _predict(args) -> int:
         cls = class_probs_for(name, enc.shape[0])
         track = decode_contig(enc, cls)
         genes = paths_to_genes(track, num_states=15)
+        if args.both_strands:
+            rc = data.revcomp(seq)
+            cls_rc = class_probs_for(
+                f"{name}__rc", len(rc), required=False
+            )
+            track_rc = decode_contig(data.encode_dna(rc), cls_rc)
+            genes = genes + flip_genes(
+                paths_to_genes(track_rc, num_states=15), len(rc)
+            )
+            genes.sort(key=lambda g: g.start)
         genes_by_seq[name] = genes
         print(f"{name}: L={len(seq)}, {len(genes)} genes")
     n = write_gff3(genes_by_seq, args.output)

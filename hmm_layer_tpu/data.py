@@ -29,6 +29,7 @@ import numpy as np
 
 __all__ = [
     "read_fasta",
+    "revcomp",
     "encode_dna",
     "encode_protein",
     "window_batches",
@@ -65,6 +66,26 @@ def read_fasta(path) -> Iterator[tuple[str, str]]:
                 parts.append(line)
     if name is not None:
         yield name, "".join(parts)
+
+
+# Complement table covering ACGT + IUPAC ambiguity codes, both cases;
+# anything else maps to N (matching encode_dna's unknown-byte handling).
+_COMPLEMENT = {}
+for _a, _b in (
+    ("A", "T"), ("C", "G"), ("R", "Y"), ("K", "M"),
+    ("B", "V"), ("D", "H"), ("S", "S"), ("W", "W"), ("N", "N"),
+):
+    _COMPLEMENT[_a], _COMPLEMENT[_b] = _b, _a
+    _COMPLEMENT[_a.lower()], _COMPLEMENT[_b.lower()] = _b.lower(), _a.lower()
+_REVCOMP_TABLE = str.maketrans(
+    {c: _COMPLEMENT.get(chr(c), "N") for c in range(128)}
+)
+
+
+def revcomp(seq: str) -> str:
+    """Reverse complement of a DNA string (IUPAC-aware, case-preserving;
+    unknown characters become ``N``)."""
+    return seq.translate(_REVCOMP_TABLE)[::-1]
 
 
 def _dna_lut() -> np.ndarray:

@@ -2,6 +2,7 @@
 
 from .annotation import (
     GeneFeature,
+    flip_genes,
     genes_to_gff3,
     paths_to_genes,
     write_gff3,
@@ -39,6 +40,7 @@ __all__ = [
     "SimpleGenePredEmissions",
     "SimpleGenePredTransitions",
     "dirichlet_log_pdf",
+    "flip_genes",
     "genes_to_gff3",
     "get_num_states",
     "get_num_states_implicit",

@@ -47,6 +47,7 @@ import numpy as np
 __all__ = [
     "GeneFeature",
     "classify_states",
+    "flip_genes",
     "paths_to_genes",
     "genes_to_gff3",
     "write_gff3",
@@ -123,6 +124,7 @@ class GeneFeature:
     copy: int = 0
     partial_5p: bool = False
     partial_3p: bool = False
+    strand: str = "+"
 
 
 def paths_to_genes(
@@ -202,6 +204,36 @@ def paths_to_genes(
     return genes
 
 
+def flip_genes(genes, contig_length: int) -> list[GeneFeature]:
+    """Map genes decoded on a REVERSE-COMPLEMENTED contig back to forward
+    coordinates (strand ``-``).
+
+    The decoder sees the reverse complement, so a feature at revcomp
+    half-open ``[s, e)`` sits at forward ``[Lc - e, Lc - s)``. GFF3 phase
+    for minus-strand CDS is counted from the feature's strand-wise start
+    (the higher forward coordinate) — exactly the phase already computed in
+    revcomp space, so phases carry over unchanged. 5'/3' partial flags
+    refer to the gene's own orientation and carry over too.
+    """
+    out = []
+    for g in genes:
+        Lc = int(contig_length)
+        out.append(
+            GeneFeature(
+                start=Lc - g.end,
+                end=Lc - g.start,
+                cds=[(Lc - e, Lc - s, p) for s, e, p in reversed(g.cds)],
+                introns=[(Lc - e, Lc - s) for s, e in reversed(g.introns)],
+                copy=g.copy,
+                partial_5p=g.partial_5p,
+                partial_3p=g.partial_3p,
+                strand="-",
+            )
+        )
+    out.sort(key=lambda g: g.start)
+    return out
+
+
 def genes_to_gff3(
     genes,
     seqid: str,
@@ -228,8 +260,8 @@ def genes_to_gff3(
             if parent:
                 a.append(f"Parent={parent}")
             return (
-                f"{seqid}\t{source}\t{ftype}\t{s + 1}\t{e}\t.\t+\t{phase}\t"
-                + ";".join(a or attrs)
+                f"{seqid}\t{source}\t{ftype}\t{s + 1}\t{e}\t.\t{g.strand}\t"
+                f"{phase}\t" + ";".join(a or attrs)
             )
 
         lines.append(row("gene", g.start, g.end))

@@ -19,6 +19,7 @@ from hmm_layer_tpu.models.annotation import (
     STOP,
     GeneFeature,
     classify_states,
+    flip_genes,
     genes_to_gff3,
     paths_to_genes,
     write_gff3,
@@ -140,6 +141,30 @@ class TestPathsToGenes:
         assert g.partial_5p and g.partial_3p
         assert g.cds == [(1, 4, 0), (6, 9, 0)]
         assert g.introns == [(4, 6)]
+
+
+class TestFlipGenes:
+    def test_coordinates_and_strand(self):
+        # Gene decoded on the revcomp of a 20-base contig.
+        path = [Ir, ST, E1, EI1, I1, I1, IE1, E1, SP, Ir]
+        (g,) = paths_to_genes(path, num_states=15)  # revcomp coords (1, 9)
+        (f,) = flip_genes([g], contig_length=20)
+        assert f.strand == "-"
+        assert (f.start, f.end) == (20 - 9, 20 - 1)
+        # CDS segments reverse order and flip individually.
+        assert f.cds == [(20 - 9, 20 - 6, 0), (20 - 4, 20 - 1, 0)]
+        assert f.introns == [(20 - 6, 20 - 4)]
+        assert not f.partial_5p and not f.partial_3p
+
+    def test_gff_strand_column(self):
+        path = [ST, E1, SP]
+        genes = flip_genes(
+            paths_to_genes(path, num_states=15), contig_length=10
+        )
+        lines = genes_to_gff3(genes, "ctg")
+        assert all(ln.split("\t")[6] == "-" for ln in lines)
+        cols = lines[0].split("\t")
+        assert (cols[3], cols[4]) == ("8", "10")
 
 
 class TestGff3:

@@ -156,6 +156,57 @@ class TestPredict:
         cols = lines[0].split("\t")
         assert (cols[3], cols[4]) == ("11", "19")  # 1-based inclusive
 
+    def test_predict_both_strands(self, tmp_path):
+        # Same planted gene as above, but on the MINUS strand: the contig
+        # is the reverse complement of the gene-bearing sequence, and the
+        # planted class probabilities go under the '<name>__rc' key.
+        Ir, E0, E1, E2, ST, SP = 0, 4, 5, 6, 7, 14
+        true_path = np.zeros(32, np.int64)
+        gene = [ST, E1, E2, E0, E1, E2, E0, E1, SP]
+        true_path[10 : 10 + len(gene)] = gene
+        nt = "ACGT"
+        rng = np.random.default_rng(2)
+        bases = [nt[i] for i in rng.integers(0, 4, size=32)]
+        bases[10:13] = "ATG"
+        bases[13:16] = "GCT"
+        bases[16:19] = "TAA"
+        plus_view = "".join(bases)
+        contig = data.revcomp(plus_view)
+
+        fasta = tmp_path / "dna.fa"
+        with open(fasta, "w") as fh:
+            fh.write(f">ctg1\n{contig}\n")
+
+        planted = np.full((32, 15), 0.005, np.float32)
+        planted[np.arange(32), true_path] = 1.0
+        planted /= planted.sum(-1, keepdims=True)
+        intergenic = np.full((32, 15), 0.02, np.float32)
+        intergenic[:, 0] = 0.72
+        npz = tmp_path / "cls.npz"
+        np.savez(npz, ctg1=intergenic, ctg1__rc=planted)
+
+        out = tmp_path / "out.gff3"
+        rc = main(
+            [
+                "predict",
+                "-i", str(fasta),
+                "-o", str(out),
+                "--class-probs", str(npz),
+                "--both-strands",
+                "--window", "32",
+                "--parallel-factor", "1",
+                "--cpu",
+            ]
+        )
+        assert rc == 0
+        gene_rows = [
+            ln for ln in out.read_text().splitlines() if "\tgene\t" in ln
+        ]
+        assert len(gene_rows) == 1
+        cols = gene_rows[0].split("\t")
+        # rc-space (10, 19) half-open -> forward (13, 22) -> 1-based 14..22.
+        assert (cols[3], cols[4], cols[6]) == ("14", "22", "-")
+
     def test_predict_missing_contig_key(self, tmp_path):
         fasta = tmp_path / "dna.fa"
         self._write_contig(fasta, L=16)

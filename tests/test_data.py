@@ -48,6 +48,15 @@ class TestEncoders:
         e = data.encode_protein("J", add_terminal=False)
         np.testing.assert_allclose(e[0, :20], np.full(20, 0.05))
 
+    def test_revcomp(self):
+        assert data.revcomp("ATGCA") == "TGCAT"
+        assert data.revcomp("acgtn") == "nacgt"
+        # IUPAC: R (A/G) complements to Y (C/T); unknowns become N.
+        assert data.revcomp("RYSWKMBDHVN") == "NBDHVKMWSRY"
+        assert data.revcomp("AXZ") == "NNT"
+        # Involution on unambiguous DNA.
+        assert data.revcomp(data.revcomp("GATTACA")) == "GATTACA"
+
 
 class TestWindowing:
     def test_covers_and_pads(self):
