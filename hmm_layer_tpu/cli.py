@@ -222,6 +222,9 @@ def _predict(args) -> int:
     params = layer.init_params(jax.random.PRNGKey(0), input_dim=15)
     if args.params:
         params = ckpt.load_checkpoint(args.params, like=params)
+    # One traced computation per window shape instead of one device
+    # dispatch per primitive (the axon tunnel charges ~33 ms a dispatch).
+    viterbi_fn = jax.jit(layer.viterbi)
 
     class_npz = np.load(args.class_probs) if args.class_probs else None
 
@@ -265,7 +268,7 @@ def _predict(args) -> int:
             x = jnp.asarray(
                 np.concatenate([cls_win, wins], axis=-1)[None]
             )
-            paths = np.asarray(layer.viterbi(params, x))[0]
+            paths = np.asarray(viterbi_fn(params, x))[0]
             for i, st in enumerate(starts):
                 if st < 0:
                     continue
