@@ -10,8 +10,15 @@ genome), so a complete replacement needs the same one-command workflows:
 * ``predict`` — Viterbi-decode DNA contigs through the 15-state gene-pred
   HMM (optionally with upstream class probabilities and trained
   parameters) and write a GFF3 annotation (the Tiberius output format).
+* ``train``   — supervised training of the gene-pred HMM against a
+  reference GFF3 annotation (posterior cross-entropy on state labels from
+  :func:`~hmm_layer_tpu.models.annotation.genes_to_states` — the Tiberius
+  training mode) or unsupervised MAP training; writes a parameter
+  checkpoint that ``predict --params`` consumes.
+* ``evaluate`` — Burset–Guigó-style accuracy (nucleotide/exon/gene
+  precision, recall, F1) of one GFF3 against another.
 
-Both commands run on whatever backend JAX selects (the TPU when present);
+All commands run on whatever backend JAX selects (the TPU when present);
 ``--cpu`` forces the CPU backend. Heavy imports happen inside ``main`` so
 ``import hmm_layer_tpu.cli`` stays backend-free (repo invariant).
 """
@@ -66,6 +73,42 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--batch", type=int, default=8)
     pr.add_argument("--parallel-factor", type=int, default=8)
     pr.add_argument("--cpu", action="store_true", help="force CPU backend")
+
+    tr = sub.add_parser(
+        "train", help="train the gene-prediction HMM on annotated contigs"
+    )
+    tr.add_argument("-i", "--input", required=True, help="DNA FASTA")
+    tr.add_argument("-a", "--annotation", default=None,
+                    help="reference GFF3 (required for --objective ce)")
+    tr.add_argument("-o", "--output", required=True,
+                    help="parameter checkpoint out (.npz; predict --params "
+                         "loads it)")
+    tr.add_argument("--objective", choices=("ce", "map"), default="ce",
+                    help="ce = posterior cross-entropy vs annotation labels "
+                         "(supervised, Tiberius mode); map = maximum "
+                         "a-posteriori log-likelihood (unsupervised)")
+    tr.add_argument("--class-probs", default=None,
+                    help=".npz of per-contig (L, 15) class probabilities "
+                         "(keys = contig names)")
+    tr.add_argument("--both-strands", action="store_true",
+                    help="also train on reverse-complemented contigs "
+                         "labeled from minus-strand genes")
+    tr.add_argument("--resume", default=None,
+                    help="parameter checkpoint to start from")
+    tr.add_argument("--steps", type=int, default=200)
+    tr.add_argument("--lr", type=float, default=0.01)
+    tr.add_argument("--window", type=int, default=512)
+    tr.add_argument("--overlap", type=int, default=0)
+    tr.add_argument("--batch", type=int, default=8)
+    tr.add_argument("--parallel-factor", type=int, default=8)
+    tr.add_argument("--seed", type=int, default=0)
+    tr.add_argument("--cpu", action="store_true", help="force CPU backend")
+
+    ev = sub.add_parser(
+        "evaluate", help="score a predicted GFF3 against a reference GFF3"
+    )
+    ev.add_argument("--pred", required=True, help="predicted GFF3")
+    ev.add_argument("--truth", required=True, help="reference GFF3")
     return ap
 
 
@@ -177,6 +220,66 @@ def _align(args) -> int:
     return 0
 
 
+# -------------------------------------------------------- gene-pred shared
+
+
+def _gene_pred_layer(parallel_factor: int):
+    """The 15-state Tiberius-style layer both ``predict`` and ``train``
+    use: biological codon patterns + an identity-ish class kernel so
+    upstream class probabilities pass through to the matching states."""
+    from .layer import HMMLayer
+    from .models import GenePredEmissions, GenePredTransitions
+    from .models.initializers import make_15_class_emission_kernel
+
+    return HMMLayer(
+        GenePredTransitions(),
+        GenePredEmissions(
+            start_codons=[("ATG", 1.0)],
+            stop_codons=[("TAG", 0.34), ("TAA", 0.33), ("TGA", 0.33)],
+            intron_begin_pattern=[
+                ("NGT", 0.99), ("NGC", 0.005), ("NAT", 0.005)
+            ],
+            intron_end_pattern=[("AGN", 0.99), ("ACN", 0.01)],
+            init=make_15_class_emission_kernel(),
+        ),
+        parallel_factor=parallel_factor,
+    )
+
+
+def _class_probs_fn(npz_path):
+    """Loader: contig name + length -> (L, 15) class probabilities.
+
+    Falls back to a mostly-intergenic prior when no upstream network
+    output is supplied (codon structure and transition geometry then
+    carve out the genes).
+    """
+    import numpy as np
+
+    class_npz = np.load(npz_path) if npz_path else None
+
+    def load(name, L, required=True):
+        if class_npz is not None:
+            if name not in class_npz.files:
+                if required:
+                    raise KeyError(
+                        f"contig {name!r} missing from {npz_path} "
+                        f"(has {class_npz.files})"
+                    )
+            else:
+                arr = np.asarray(class_npz[name], np.float32)
+                if arr.shape != (L, 15):
+                    raise ValueError(
+                        f"class probs for {name!r} have shape {arr.shape}, "
+                        f"expected {(L, 15)}"
+                    )
+                return arr
+        probs = np.full((L, 15), 0.02, np.float32)
+        probs[:, 0] = 0.72
+        return probs
+
+    return load
+
+
 # -------------------------------------------------------------- predict
 
 
@@ -188,15 +291,8 @@ def _predict(args) -> int:
     import numpy as np
 
     from . import data
-    from .layer import HMMLayer
-    from .models import (
-        GenePredEmissions,
-        GenePredTransitions,
-        paths_to_genes,
-        write_gff3,
-    )
+    from .models import paths_to_genes, write_gff3
     from .models.annotation import flip_genes
-    from .models.initializers import make_15_class_emission_kernel
     from .utils import checkpoint as ckpt
 
     # One fixed window length for every contig (short contigs are padded by
@@ -204,21 +300,7 @@ def _predict(args) -> int:
     pf = max(1, args.parallel_factor)
     window = max(pf, args.window - args.window % pf)
 
-    layer = HMMLayer(
-        GenePredTransitions(),
-        GenePredEmissions(
-            start_codons=[("ATG", 1.0)],
-            stop_codons=[("TAG", 0.34), ("TAA", 0.33), ("TGA", 0.33)],
-            intron_begin_pattern=[
-                ("NGT", 0.99), ("NGC", 0.005), ("NAT", 0.005)
-            ],
-            intron_end_pattern=[("AGN", 0.99), ("ACN", 0.01)],
-            # Identity-ish class kernel: upstream class probabilities pass
-            # through to the matching states.
-            init=make_15_class_emission_kernel(),
-        ),
-        parallel_factor=pf,
-    )
+    layer = _gene_pred_layer(pf)
     params = layer.init_params(jax.random.PRNGKey(0), input_dim=15)
     if args.params:
         params = ckpt.load_checkpoint(args.params, like=params)
@@ -226,29 +308,7 @@ def _predict(args) -> int:
     # dispatch per primitive (the axon tunnel charges ~33 ms a dispatch).
     viterbi_fn = jax.jit(layer.viterbi)
 
-    class_npz = np.load(args.class_probs) if args.class_probs else None
-
-    def class_probs_for(name, L, required=True):
-        if class_npz is not None:
-            if name not in class_npz.files:
-                if required:
-                    raise KeyError(
-                        f"contig {name!r} missing from {args.class_probs} "
-                        f"(has {class_npz.files})"
-                    )
-            else:
-                arr = np.asarray(class_npz[name], np.float32)
-                if arr.shape != (L, 15):
-                    raise ValueError(
-                        f"class probs for {name!r} have shape {arr.shape}, "
-                        f"expected {(L, 15)}"
-                    )
-                return arr
-        # No upstream network: a mostly-intergenic prior leaves the codon
-        # structure and transition geometry to carve out genes.
-        probs = np.full((L, 15), 0.02, np.float32)
-        probs[:, 0] = 0.72
-        return probs
+    class_probs_for = _class_probs_fn(args.class_probs)
 
     def decode_contig(enc, cls):
         L = enc.shape[0]
@@ -311,12 +371,159 @@ def _predict(args) -> int:
     return 0
 
 
+# ---------------------------------------------------------------- train
+
+
+def _train(args) -> int:
+    if args.cpu:
+        _force_cpu()
+    if args.objective == "ce" and not args.annotation:
+        print("error: --objective ce requires -a/--annotation",
+              file=sys.stderr)
+        return 2
+
+    import jax
+    import numpy as np
+    import optax
+
+    from . import data
+    from .models import genes_to_states, read_gff3
+    from .models.annotation import flip_genes
+    from .training import Trainer
+    from .utils import checkpoint as ckpt
+
+    pf = max(1, args.parallel_factor)
+    window = max(pf, args.window - args.window % pf)
+    layer = _gene_pred_layer(pf)
+    class_probs_for = _class_probs_fn(args.class_probs)
+    annot = read_gff3(args.annotation) if args.annotation else {}
+
+    def windows_of(name, seq, genes):
+        """Supervised windows for one (possibly reverse-complemented)
+        forward-strand labeling of a contig."""
+        L = len(seq)
+        enc = np.concatenate(
+            [class_probs_for(name, L, required=False), data.encode_dna(seq)],
+            axis=-1,
+        )
+        track = (
+            genes_to_states(genes, L, num_states=15)
+            if genes is not None
+            else None
+        )
+        out = []
+        for wins, starts in data.window_batches(
+            enc, window, args.batch, min(args.overlap, window - 1)
+        ):
+            labels = np.zeros(wins.shape[:2], np.int32)
+            mask = np.zeros(wins.shape[:2], np.float32)
+            for i, st in enumerate(starts):
+                if st < 0:
+                    continue
+                n = min(st + window, L) - st
+                mask[i, :n] = 1.0
+                if track is not None:
+                    labels[i, :n] = track[st : st + n]
+            out.append(
+                {
+                    "x": wins[None],
+                    "labels": labels[None],
+                    "mask": mask[None],
+                }
+            )
+        return out
+
+    batches = []
+    skipped_minus = 0
+    for name, seq in data.read_fasta(args.input):
+        genes = None
+        if args.objective == "ce":
+            plus = [g for g in annot.get(name, []) if g.strand == "+"]
+            minus = [g for g in annot.get(name, []) if g.strand == "-"]
+            # Window-truncated intron-only fragments cannot be labeled;
+            # complete annotations never contain them.
+            genes = plus
+            if minus and not args.both_strands:
+                skipped_minus += len(minus)
+        batches.extend(windows_of(name, seq, genes))
+        if args.both_strands:
+            rc = data.revcomp(seq)
+            rc_genes = None
+            if args.objective == "ce":
+                rc_genes = flip_genes(
+                    [g for g in annot.get(name, []) if g.strand == "-"],
+                    len(seq),
+                )
+                for g in rc_genes:
+                    g.strand = "+"  # now in revcomp forward coordinates
+            batches.extend(windows_of(f"{name}__rc", rc, rc_genes))
+    if not batches:
+        print(f"error: no sequences in {args.input}", file=sys.stderr)
+        return 2
+    if skipped_minus:
+        print(
+            f"note: {skipped_minus} minus-strand genes ignored "
+            "(pass --both-strands to train on them)"
+        )
+
+    if args.objective == "ce":
+        def loss_fn(p, batch, indices):
+            return layer.posterior_cross_entropy(
+                p, batch["x"], batch["labels"], label_mask=batch["mask"]
+            )
+    else:
+        def loss_fn(p, batch, indices):
+            return layer.loss(p, batch["x"])
+
+    trainer = Trainer(layer, optimizer=optax.adam(args.lr), loss_fn=loss_fn)
+    params, opt_state = trainer.init(
+        jax.random.PRNGKey(args.seed), input_dim=15
+    )
+    if args.resume:
+        params = ckpt.load_checkpoint(args.resume, like=params)
+
+    def cycle(n_steps):
+        step = 0
+        while True:
+            for b in batches:
+                if step >= n_steps:
+                    return
+                yield b
+                step += 1
+
+    print(
+        f"training ({args.objective}) on {len(batches)} window batches "
+        f"(window={window}, batch={args.batch}) for {args.steps} steps ..."
+    )
+    params, _, loss = trainer.fit(params, opt_state, batches=cycle(args.steps))
+    ckpt.save_checkpoint(args.output, params, step=args.steps)
+    print(f"final loss {float(np.asarray(loss)):.4f}; wrote {args.output}")
+    return 0
+
+
+# -------------------------------------------------------------- evaluate
+
+
+def _evaluate(args) -> int:
+    import json
+
+    from .models import evaluate_annotation, read_gff3
+
+    metrics = evaluate_annotation(read_gff3(args.pred), read_gff3(args.truth))
+    print(json.dumps(metrics, indent=2))
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.command == "align":
         return _align(args)
     if args.command == "predict":
         return _predict(args)
+    if args.command == "train":
+        return _train(args)
+    if args.command == "evaluate":
+        return _evaluate(args)
     raise AssertionError(args.command)
 
 

@@ -414,6 +414,60 @@ class HMMLayer:
             objective = objective + jnp.mean(self.compute_prior(params))
         return -(objective) + self.aux_loss(params)
 
+    def posterior_cross_entropy(
+        self,
+        params,
+        inputs,
+        labels,
+        label_mask=None,
+        end_hints=None,
+        training=True,
+        no_loglik=False,
+    ):
+        """Supervised training objective: mean cross-entropy between the
+        posterior state marginals and per-position state labels, scalar.
+
+        This is the Tiberius training mode of the gene-pred family — the
+        reference's HMM head emits posteriors that an *external* CE
+        consumes (its ``no_loglik`` flag exists for exactly this,
+        ``/root/reference/hmm_layer/MsaHMMLayer.py:142-143,513-514``);
+        here the whole objective ships in the layer so
+        :class:`~hmm_layer_tpu.training.Trainer` can drive it. Labels come
+        from reference annotations via
+        :func:`~hmm_layer_tpu.models.annotation.genes_to_states`.
+
+        Args:
+          labels: int state tracks, ``(m, b, L)`` or ``(b, L)``
+            (broadcast over models).
+          label_mask: optional ``{0,1}`` weights of the same shape
+            (mask padding / unannotated positions).
+          no_loglik: skip the loglik normalization inside the posterior
+            (reference semantics; the CE then also penalizes total mass).
+
+        Returns:
+          scalar loss: mean CE − scaled prior (if ``use_prior``) + aux.
+        """
+        lg = self.state_posterior_log_probs(
+            params,
+            inputs,
+            end_hints=end_hints,
+            training=training,
+            no_loglik=no_loglik,
+        )
+        labels = jnp.asarray(labels)
+        if labels.ndim == lg.ndim - 2:
+            labels = jnp.broadcast_to(labels[None], lg.shape[:-1])
+        ce = -jnp.take_along_axis(lg, labels[..., None], axis=-1)[..., 0]
+        if label_mask is not None:
+            mask = jnp.broadcast_to(jnp.asarray(label_mask, ce.dtype), ce.shape)
+            ce_mean = jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+        else:
+            ce_mean = jnp.mean(ce)
+        loss = ce_mean
+        if self.use_prior:
+            loss = loss - jnp.mean(self.compute_prior(params))
+        return loss + self.aux_loss(params)
+
     def __call__(self, params, inputs, indices=None, training=False):
         """(loglik (m, b), aggregated loglik[, prior (m,), aux_loss])."""
         ll = self.log_likelihood(params, inputs, training=training)

@@ -2,9 +2,12 @@
 
 from .annotation import (
     GeneFeature,
+    evaluate_annotation,
     flip_genes,
     genes_to_gff3,
+    genes_to_states,
     paths_to_genes,
+    read_gff3,
     write_gff3,
 )
 from .dirichlet import DirichletMixture, dirichlet_log_pdf, load_mixture_model
@@ -40,13 +43,16 @@ __all__ = [
     "SimpleGenePredEmissions",
     "SimpleGenePredTransitions",
     "dirichlet_log_pdf",
+    "evaluate_annotation",
     "flip_genes",
     "genes_to_gff3",
+    "genes_to_states",
     "get_num_states",
     "get_num_states_implicit",
     "load_mixture_model",
     "paths_to_genes",
     "paths_to_msa",
+    "read_gff3",
     "write_gff3",
     "write_msa",
 ]

@@ -49,8 +49,11 @@ __all__ = [
     "classify_states",
     "flip_genes",
     "paths_to_genes",
+    "genes_to_states",
     "genes_to_gff3",
     "write_gff3",
+    "read_gff3",
+    "evaluate_annotation",
 ]
 
 # Row indices of the classification table.
@@ -234,6 +237,160 @@ def flip_genes(genes, contig_length: int) -> list[GeneFeature]:
     return out
 
 
+def genes_to_states(
+    genes,
+    length: int,
+    num_states: int = 15,
+    offset: int = 0,
+    simple: bool | None = None,
+) -> np.ndarray:
+    """Render gene structures back into a gene-pred STATE track — the exact
+    inverse of :func:`paths_to_genes`.
+
+    This is the label-generation step of supervised gene-prediction
+    training (the Tiberius workflow the reference's gene-pred family feeds:
+    reference annotations become per-position state targets for a
+    cross-entropy loss on the HMM posterior; the reference repo itself
+    stops at the posterior and ships no label converter). The emitted track
+    is always a *valid path* of the transition grammar
+    (:class:`~hmm_layer_tpu.models.gene_pred_transitions.GenePredTransitions`
+    edge set), so it can also drive
+    :meth:`~hmm_layer_tpu.layer.HMMLayer.posterior_cross_entropy` or seed
+    Viterbi-training comparisons.
+
+    Args:
+      genes: iterable of :class:`GeneFeature` on the **forward** strand of
+        the coordinate system being labeled. Minus-strand genes must first
+        be mapped to reverse-complement space with :func:`flip_genes`
+        (an involution) and rendered against the reverse-complemented
+        contig; passing a ``strand == "-"`` feature here raises.
+      length: track length (window or contig).
+      num_states: grammar size (``1+14k`` full / ``1+6k`` simple).
+      offset: contig coordinate of track position 0.
+      simple: see :func:`classify_states`.
+
+    Returns:
+      ``(length,)`` int32 state track (intergenic everywhere outside
+      genes).
+
+    Raises:
+      ValueError: if a gene is inconsistent with the grammar (CDS phases
+        that do not chain, a complete gene whose coding length is not a
+        codon multiple, a 1-base CDS segment that would need to be both
+        donor and acceptor, or an intron-only fragment whose phase is
+        unknowable).
+    """
+    if simple is None:
+        simple = (num_states - 1) % 14 != 0
+    kind_tab, pos_tab, copy_tab = classify_states(num_states, simple=simple)
+    state_of = {}
+    for s in range(num_states):
+        state_of[(int(kind_tab[s]), int(pos_tab[s]), int(copy_tab[s]))] = s
+    k = int(copy_tab.max()) + 1
+
+    track = np.zeros(int(length), np.int32)
+
+    def put(pos, kind, codon_pos, copy):
+        i = pos - offset
+        if 0 <= i < len(track):
+            track[i] = state_of[(kind, codon_pos, copy)]
+
+    for g in genes:
+        if getattr(g, "strand", "+") != "+":
+            raise ValueError(
+                "genes_to_states labels forward-strand coordinates; map "
+                "minus-strand genes into reverse-complement space with "
+                "flip_genes() and label the reverse-complemented contig"
+            )
+        copy = int(g.copy)
+        if not 0 <= copy < k:
+            raise ValueError(f"gene copy {copy} out of range for k={k}")
+        cds = sorted(g.cds)
+        introns = sorted(g.introns)
+        if not cds:
+            raise ValueError(
+                f"gene [{g.start}, {g.end}) has introns but no CDS — its "
+                "intron phase is unknowable; drop window-truncated "
+                "fragments before labeling"
+            )
+        intron_starts = {s for s, _ in introns}
+        intron_ends = {e for _, e in introns}
+
+        # Codon positions chain across segments (introns do not consume
+        # codon positions); each segment's recorded phase must agree.
+        cp = (3 - int(cds[0][2])) % 3
+        first_base = cds[0][0]
+        last_base = cds[-1][1] - 1
+        for s, e, phase in cds:
+            if (3 - int(phase)) % 3 != cp:
+                raise ValueError(
+                    f"CDS phase {phase} at [{s}, {e}) does not chain with "
+                    "the preceding segments (introns preserve codon "
+                    "position)"
+                )
+            for pos in range(s, e):
+                donor = pos == e - 1 and e in intron_starts
+                acceptor = pos == s and s in intron_ends
+                if donor and acceptor:
+                    raise ValueError(
+                        f"1-base CDS segment at {pos} is both intron donor "
+                        "and acceptor — no such state in the grammar"
+                    )
+                if pos == first_base and not g.partial_5p and not simple:
+                    if cp != 0:
+                        raise ValueError(
+                            "complete gene does not start at codon "
+                            f"position 0 (got {cp})"
+                        )
+                    if donor:
+                        raise ValueError(
+                            "START immediately followed by an intron is "
+                            "not in the grammar (START -> E1 only)"
+                        )
+                    put(pos, START, 0, copy)
+                elif pos == last_base and not g.partial_3p and not simple:
+                    if cp != 2:
+                        raise ValueError(
+                            "complete gene does not end at codon position "
+                            f"2 (got {cp}; coding length must be a codon "
+                            "multiple)"
+                        )
+                    if acceptor:
+                        raise ValueError(
+                            "STOP immediately preceded by an intron is "
+                            "not in the grammar (IE -> E only)"
+                        )
+                    put(pos, STOP, 2, copy)
+                elif donor and not simple:
+                    put(pos, EI, cp, copy)
+                elif acceptor and not simple:
+                    put(pos, IE, cp, copy)
+                else:
+                    put(pos, EXON, cp, copy)
+                cp = (cp + 1) % 3
+        # Intron blocks are pinned by the flanking exon codon positions:
+        # full grammar  E_i -> EI_i(pos i+1) -> I_i -> IE_i(pos i+2) -> E_i
+        # simple        E_i(pos i) -> I_i -> E_{i+1}
+        for s, e in introns:
+            nxt = next((c for c in cds if c[0] == e), None)
+            prv = next((c for c in cds if c[1] == s), None)
+            if nxt is not None:
+                cp_next = (3 - int(nxt[2])) % 3
+                block = (cp_next + 1) % 3 if not simple else (cp_next + 2) % 3
+            elif prv is not None:
+                # Trailing intron of a window-truncated gene.
+                seg_len = prv[1] - prv[0]
+                cp_prev = ((3 - int(prv[2])) % 3 + seg_len - 1) % 3
+                block = (cp_prev + 2) % 3 if not simple else cp_prev
+            else:
+                raise ValueError(
+                    f"intron [{s}, {e}) touches no CDS segment of its gene"
+                )
+            for pos in range(s, e):
+                put(pos, INTRON, block, copy)
+    return track
+
+
 def genes_to_gff3(
     genes,
     seqid: str,
@@ -287,3 +444,145 @@ def write_gff3(genes_by_seq, path, source: str = "hmm_layer_tpu"):
                 fh.write(line + "\n")
             n += len(genes)
     return n
+
+
+def read_gff3(path) -> dict:
+    """Parse a GFF3 file into ``{seqid: [GeneFeature, ...]}``.
+
+    The inverse of :func:`write_gff3`, tolerant enough for external
+    annotations (the supervised-training input): ``gene`` rows open a
+    feature; ``CDS`` rows attach via ``Parent`` (through an ``mRNA``
+    indirection or directly to the gene — only the first transcript of a
+    gene is kept); explicit ``intron`` rows are honored, otherwise introns
+    are derived from the gaps between CDS segments. Unknown feature types
+    and other seq regions pass through silently. Coordinates convert from
+    1-based inclusive to the 0-based half-open convention of
+    :class:`GeneFeature`.
+    """
+
+    def attr_map(field):
+        out = {}
+        for part in field.strip().split(";"):
+            if "=" in part:
+                key, val = part.split("=", 1)
+                out[key.strip()] = val.strip()
+        return out
+
+    genes = {}  # gene ID -> (seqid, GeneFeature, transcript_id | None)
+    order = []  # (seqid, gene_id) in file order
+    mrna_parent = {}  # transcript ID -> gene ID
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            cols = line.split("\t")
+            if len(cols) != 9:
+                continue
+            seqid, _src, ftype, s, e, _score, strand, phase, attrs = cols
+            s, e = int(s) - 1, int(e)  # -> 0-based half-open
+            a = attr_map(attrs)
+            if ftype == "gene":
+                gid = a.get("ID", f"gene{len(genes) + 1}")
+                genes[gid] = (
+                    seqid,
+                    GeneFeature(
+                        start=s,
+                        end=e,
+                        copy=int(a.get("copy", 0)),
+                        partial_5p=a.get("partial_5p") == "true",
+                        partial_3p=a.get("partial_3p") == "true",
+                        strand=strand if strand in "+-" else "+",
+                    ),
+                    None,
+                )
+                order.append((seqid, gid))
+            elif ftype in ("mRNA", "transcript"):
+                parent = a.get("Parent")
+                if parent in genes:
+                    mrna_parent[a.get("ID", parent + ".t")] = parent
+            elif ftype in ("CDS", "intron"):
+                parent = a.get("Parent", "")
+                gid = mrna_parent.get(parent, parent)
+                if gid not in genes:
+                    continue
+                seq_of, g, kept = genes[gid]
+                if kept is None:
+                    genes[gid] = (seq_of, g, parent)
+                elif parent != kept:  # a second transcript: skip it
+                    continue
+                if ftype == "CDS":
+                    g.cds.append((s, e, 0 if phase == "." else int(phase)))
+                else:
+                    g.introns.append((s, e))
+
+    out = {}
+    for seqid, gid in order:
+        _, g, _ = genes[gid]
+        g.cds.sort()
+        g.introns.sort()
+        if g.cds and not g.introns:
+            g.introns = [
+                (a_end, b_start)
+                for (_, a_end, _), (b_start, _, _) in zip(g.cds, g.cds[1:])
+                if b_start > a_end
+            ]
+        out.setdefault(seqid, []).append(g)
+    return out
+
+
+def _metric_counts(pred: set, true: set) -> dict:
+    tp = len(pred & true)
+    fp = len(pred - true)
+    fn = len(true - pred)
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    f1 = (
+        2 * precision * recall / (precision + recall)
+        if precision + recall
+        else 0.0
+    )
+    return {
+        "tp": tp,
+        "fp": fp,
+        "fn": fn,
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+    }
+
+
+def evaluate_annotation(pred_by_seq: dict, true_by_seq: dict) -> dict:
+    """Burset–Guigó-style gene-prediction accuracy at three levels.
+
+    Args:
+      pred_by_seq / true_by_seq: ``{seqid: [GeneFeature, ...]}`` (e.g. from
+        :func:`read_gff3` or :func:`paths_to_genes`).
+
+    Returns:
+      ``{"nucleotide": ..., "exon": ..., "gene": ...}``, each a dict of
+      tp/fp/fn/precision/recall/f1. Nucleotide level counts coding bases;
+      exon level counts exact CDS segments (coordinates AND phase must
+      match); gene level counts genes whose full CDS structure matches
+      exactly. Strands are compared separately (a minus-strand prediction
+      never matches a plus-strand truth).
+    """
+
+    def collect(by_seq):
+        nuc, exon, gene = set(), set(), set()
+        for seqid, genes in by_seq.items():
+            for g in genes:
+                key = (seqid, g.strand)
+                for s, e, phase in g.cds:
+                    nuc.update((key, p) for p in range(s, e))
+                    exon.add((key, s, e, int(phase)))
+                gene.add((key, tuple(sorted(g.cds))))
+        return nuc, exon, gene
+
+    p_nuc, p_ex, p_gene = collect(pred_by_seq)
+    t_nuc, t_ex, t_gene = collect(true_by_seq)
+    return {
+        "nucleotide": _metric_counts(p_nuc, t_nuc),
+        "exon": _metric_counts(p_ex, t_ex),
+        "gene": _metric_counts(p_gene, t_gene),
+    }

@@ -113,8 +113,14 @@ class Trainer:
         checkpoint_dir: str | None = None,
         checkpoint_every: int = 100,
         metrics_path: str | None = None,
+        loss_fn=None,
     ):
         self.layer = layer
+        #: optional objective override ``loss_fn(params, batch, indices)``;
+        #: ``batch`` is whatever the fit iterable yields (any pytree of
+        #: arrays — e.g. ``{"x": ..., "labels": ...}`` for the supervised
+        #: posterior-CE objective). Default: ``layer.loss`` (MAP).
+        self.loss_fn = loss_fn
         self.optimizer = optimizer or optax.adam(1e-2)
         self.mesh = mesh
         self.data_axis = data_axis
@@ -139,10 +145,13 @@ class Trainer:
 
     def _build_step(self):
         layer, tx = self.layer, self._tx
+        loss_fn = self.loss_fn or (
+            lambda p, batch, indices: layer.loss(p, batch, indices=indices)
+        )
 
         def train_step(params, opt_state, batch, indices):
             loss, grads = jax.value_and_grad(
-                lambda p: layer.loss(p, batch, indices=indices)
+                lambda p: loss_fn(p, batch, indices)
             )(params)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -172,7 +181,9 @@ class Trainer:
                 )
 
             def sharded_step(params, opt_state, batch, indices=None):
-                return step(params, opt_state, place(batch), indices)
+                return step(
+                    params, opt_state, jax.tree.map(place, batch), indices
+                )
 
             return sharded_step
         return step
@@ -213,9 +224,10 @@ class Trainer:
             params, opt_state, loss = self._train_step(
                 params, opt_state, batch, indices
             )
-            # batch is (m, b, L, s): b sequences per step (each sequence is
-            # scored by every model; models do not multiply the count).
-            meter.update(batch.shape[1])
+            # batch is (m, b, L, s) (or a pytree of such — count the first
+            # leaf): b sequences per step (each sequence is scored by every
+            # model; models do not multiply the count).
+            meter.update(jax.tree_util.tree_leaves(batch)[0].shape[1])
             if step_idx % log_every == 0:
                 if watchdog is not None:
                     with watchdog:

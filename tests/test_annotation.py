@@ -259,3 +259,206 @@ class TestRoundTripWithEngine:
         assert g.cds == [(2, 8, 0), (12, 15, 0)]
         assert g.introns == [(8, 12)]
         assert not g.partial_5p and not g.partial_3p
+
+
+class TestGenesToStates:
+    """genes_to_states is the exact inverse of paths_to_genes on
+    grammar-valid paths (the supervised label-generation contract)."""
+
+    VALID_PATHS_15 = [
+        # intronless complete gene
+        [Ir, Ir, ST, E1, E2, E0, E1, SP, Ir],
+        # one intron, phase 0 at the second segment
+        [Ir, ST, E1, EI1, I1, I1, I1, I1, IE1, E1, SP, Ir],
+        # intron after codon position 0
+        [ST, E1, E2, E0, EI0, I0, I0, IE0, E0, E1, SP],
+        # window-truncated on both sides
+        [E2, E0, E1, EI1, I1, I1],
+        # truncated entering mid-intron (grammar-valid continuation:
+        # IE2 has codon position 1, so E2(2) E0(0) E1(1) SP(2) follows)
+        [I2, I2, IE2, E2, E0, E1, SP],
+        # two genes
+        [Ir, ST, E1, SP, Ir, Ir, ST, E1, SP, Ir, Ir, Ir],
+        # all intergenic
+        [Ir] * 6,
+    ]
+
+    def test_round_trip_full_grammar(self):
+        from hmm_layer_tpu.models.annotation import genes_to_states
+
+        for path in self.VALID_PATHS_15:
+            path = np.asarray(path)
+            genes = paths_to_genes(path, num_states=15)
+            track = genes_to_states(genes, len(path), num_states=15)
+            np.testing.assert_array_equal(track, path, err_msg=str(path))
+
+    def test_round_trip_with_offset(self):
+        from hmm_layer_tpu.models.annotation import genes_to_states
+
+        path = np.asarray([Ir, ST, E1, EI1, I1, I1, IE1, E1, SP, Ir])
+        genes = paths_to_genes(path, num_states=15, offset=1000)
+        track = genes_to_states(genes, len(path), num_states=15, offset=1000)
+        np.testing.assert_array_equal(track, path)
+
+    def test_round_trip_simple_grammar(self):
+        from hmm_layer_tpu.models.annotation import genes_to_states
+
+        # E0 E1 E2 -> I2 -> E0 E1 E2 (I2 -> E0 is the grammar edge)
+        path = np.asarray([0, 4, 5, 6, 3, 3, 4, 5, 6, 0])
+        genes = paths_to_genes(path, num_states=7)
+        track = genes_to_states(genes, len(path), num_states=7)
+        np.testing.assert_array_equal(track, path)
+
+    def test_round_trip_multi_copy(self):
+        from hmm_layer_tpu.models.annotation import genes_to_states
+
+        k = 2
+        start1 = 1 + 6 * k + 1
+        e1_1 = 1 + 3 * k + k + 1
+        stop1 = 1 + 13 * k + 1
+        path = np.asarray([0, start1, e1_1, stop1, 0])
+        genes = paths_to_genes(path, num_states=1 + 14 * k)
+        track = genes_to_states(genes, len(path), num_states=1 + 14 * k)
+        np.testing.assert_array_equal(track, path)
+
+    def test_minus_strand_raises(self):
+        from hmm_layer_tpu.models.annotation import genes_to_states
+
+        g = GeneFeature(start=0, end=3, cds=[(0, 3, 0)], strand="-")
+        with pytest.raises(ValueError, match="flip_genes"):
+            genes_to_states([g], 3)
+
+    def test_minus_strand_via_flip_involution(self):
+        """Label a minus-strand gene by flipping back to revcomp space."""
+        from hmm_layer_tpu.models.annotation import genes_to_states
+
+        rc_path = np.asarray([Ir, ST, E1, EI1, I1, I1, IE1, E1, SP, Ir])
+        Lc = len(rc_path)
+        minus = flip_genes(paths_to_genes(rc_path, num_states=15), Lc)
+        back = flip_genes(minus, Lc)  # involution -> revcomp space, '+'
+        for g in back:
+            g.strand = "+"
+        track = genes_to_states(back, Lc, num_states=15)
+        np.testing.assert_array_equal(track, rc_path)
+
+    def test_inconsistent_phase_chain_raises(self):
+        from hmm_layer_tpu.models.annotation import genes_to_states
+
+        g = GeneFeature(
+            start=0, end=8,
+            cds=[(0, 3, 0), (5, 8, 0)],  # second phase should be 0 only
+            introns=[(3, 5)],            # if length(first) % 3 == 0: ok
+        )
+        # first segment length 3 -> phase 0 chains; make it inconsistent:
+        g.cds[1] = (5, 8, 1)
+        with pytest.raises(ValueError, match="chain"):
+            genes_to_states([g], 8)
+
+    def test_non_codon_multiple_complete_gene_raises(self):
+        from hmm_layer_tpu.models.annotation import genes_to_states
+
+        g = GeneFeature(start=0, end=4, cds=[(0, 4, 0)])
+        with pytest.raises(ValueError, match="codon"):
+            genes_to_states([g], 4)
+
+    def test_intron_only_fragment_raises(self):
+        from hmm_layer_tpu.models.annotation import genes_to_states
+
+        g = GeneFeature(start=0, end=4, introns=[(0, 4)], partial_5p=True,
+                        partial_3p=True)
+        with pytest.raises(ValueError, match="intron"):
+            genes_to_states([g], 4)
+
+
+class TestReadGff3:
+    def test_write_read_round_trip(self, tmp_path):
+        path = np.asarray([Ir, ST, E1, EI1, I1, I1, IE1, E1, SP, Ir])
+        genes = paths_to_genes(path, num_states=15)
+        genes += flip_genes(paths_to_genes([ST, E1, SP], num_states=15), 10)
+        out = tmp_path / "x.gff3"
+        write_gff3({"chr1": genes, "chr2": []}, out)
+
+        from hmm_layer_tpu.models.annotation import read_gff3
+
+        back = read_gff3(out)
+        assert list(back) == ["chr1"]
+        assert len(back["chr1"]) == len(genes)
+        for a, b in zip(genes, back["chr1"]):
+            assert (a.start, a.end, a.strand) == (b.start, b.end, b.strand)
+            assert a.cds == b.cds and a.introns == b.introns
+            assert (a.partial_5p, a.partial_3p) == (b.partial_5p, b.partial_3p)
+
+    def test_foreign_gff3(self, tmp_path):
+        """No mRNA indirection, no intron rows, '.' phases, extra types."""
+        text = "\n".join([
+            "##gff-version 3",
+            "ctg\tsrc\tregion\t1\t100\t.\t+\t.\tID=r1",
+            "ctg\tsrc\tgene\t11\t40\t.\t+\t.\tID=gA",
+            "ctg\tsrc\tCDS\t11\t20\t.\t+\t0\tParent=gA",
+            "ctg\tsrc\tCDS\t31\t40\t.\t+\t.\tParent=gA",
+            "",
+        ])
+        p = tmp_path / "f.gff3"
+        p.write_text(text)
+
+        from hmm_layer_tpu.models.annotation import read_gff3
+
+        (g,) = read_gff3(p)["ctg"]
+        assert (g.start, g.end) == (10, 40)
+        assert g.cds == [(10, 20, 0), (30, 40, 0)]
+        assert g.introns == [(20, 30)]  # derived from the CDS gap
+
+    def test_second_transcript_skipped(self, tmp_path):
+        text = "\n".join([
+            "##gff-version 3",
+            "ctg\tsrc\tgene\t1\t30\t.\t+\t.\tID=g1",
+            "ctg\tsrc\tmRNA\t1\t30\t.\t+\t.\tID=t1;Parent=g1",
+            "ctg\tsrc\tmRNA\t1\t30\t.\t+\t.\tID=t2;Parent=g1",
+            "ctg\tsrc\tCDS\t1\t9\t.\t+\t0\tParent=t1",
+            "ctg\tsrc\tCDS\t1\t12\t.\t+\t0\tParent=t2",
+            "",
+        ])
+        p = tmp_path / "t.gff3"
+        p.write_text(text)
+
+        from hmm_layer_tpu.models.annotation import read_gff3
+
+        (g,) = read_gff3(p)["ctg"]
+        assert g.cds == [(0, 9, 0)]
+
+
+class TestEvaluateAnnotation:
+    def test_perfect_match(self):
+        from hmm_layer_tpu.models.annotation import evaluate_annotation
+
+        genes = paths_to_genes(
+            [Ir, ST, E1, EI1, I1, I1, IE1, E1, SP, Ir], num_states=15
+        )
+        m = evaluate_annotation({"c": genes}, {"c": genes})
+        for level in ("nucleotide", "exon", "gene"):
+            assert m[level]["f1"] == 1.0 and m[level]["fp"] == 0
+
+    def test_shifted_exon(self):
+        from hmm_layer_tpu.models.annotation import evaluate_annotation
+
+        true = [GeneFeature(start=0, end=9, cds=[(0, 9, 0)])]
+        pred = [GeneFeature(start=3, end=12, cds=[(3, 12, 0)])]
+        m = evaluate_annotation({"c": pred}, {"c": true})
+        assert m["exon"]["f1"] == 0.0 and m["gene"]["f1"] == 0.0
+        assert m["nucleotide"]["tp"] == 6
+        assert m["nucleotide"]["fp"] == 3 and m["nucleotide"]["fn"] == 3
+
+    def test_strand_mismatch_never_matches(self):
+        from hmm_layer_tpu.models.annotation import evaluate_annotation
+
+        plus = [GeneFeature(start=0, end=3, cds=[(0, 3, 0)], strand="+")]
+        minus = [GeneFeature(start=0, end=3, cds=[(0, 3, 0)], strand="-")]
+        m = evaluate_annotation({"c": plus}, {"c": minus})
+        assert m["nucleotide"]["tp"] == 0
+
+    def test_empty_prediction(self):
+        from hmm_layer_tpu.models.annotation import evaluate_annotation
+
+        true = [GeneFeature(start=0, end=3, cds=[(0, 3, 0)])]
+        m = evaluate_annotation({"c": []}, {"c": true})
+        assert m["gene"]["recall"] == 0.0 and m["gene"]["fn"] == 1

@@ -224,3 +224,111 @@ class TestPredict:
                     "--cpu",
                 ]
             )
+
+
+class TestTrainEvaluate:
+    def _planted(self, tmp_path):
+        """Contig with one planted gene + class probs + truth GFF3."""
+        from hmm_layer_tpu.models import paths_to_genes, write_gff3
+
+        true_path = np.zeros(32, np.int64)
+        ST, E1, E2, E0, SP = 7, 5, 6, 4, 14
+        gene = [ST, E1, E2, E0, E1, E2, E0, E1, SP]
+        true_path[10 : 10 + len(gene)] = gene
+        nt = "ACGT"
+        rng = np.random.default_rng(2)
+        bases = [nt[i] for i in rng.integers(0, 4, size=32)]
+        bases[10:13] = "ATG"
+        bases[13:16] = "GCT"
+        bases[16:19] = "TAA"
+        fasta = tmp_path / "dna.fa"
+        fasta.write_text(">ctg1\n" + "".join(bases) + "\n")
+
+        cls = np.full((32, 15), 0.005, np.float32)
+        cls[np.arange(32), true_path] = 1.0
+        cls /= cls.sum(-1, keepdims=True)
+        npz = tmp_path / "cls.npz"
+        np.savez(npz, ctg1=cls)
+
+        truth = tmp_path / "truth.gff3"
+        write_gff3(
+            {"ctg1": paths_to_genes(true_path, num_states=15)}, truth
+        )
+        return fasta, npz, truth
+
+    def test_train_predict_evaluate_round_trip(self, tmp_path, capsys):
+        import json
+
+        fasta, npz, truth = self._planted(tmp_path)
+        ckpt_out = tmp_path / "trained.npz"
+        rc = main(
+            [
+                "train",
+                "-i", str(fasta),
+                "-a", str(truth),
+                "-o", str(ckpt_out),
+                "--class-probs", str(npz),
+                "--steps", "10",
+                "--lr", "0.03",
+                "--window", "32",
+                "--batch", "2",
+                "--parallel-factor", "1",
+                "--cpu",
+            ]
+        )
+        assert rc == 0 and ckpt_out.exists()
+        out_text = capsys.readouterr().out
+        assert "final loss" in out_text
+
+        pred = tmp_path / "pred.gff3"
+        rc = main(
+            [
+                "predict",
+                "-i", str(fasta),
+                "-o", str(pred),
+                "--params", str(ckpt_out),
+                "--class-probs", str(npz),
+                "--window", "32",
+                "--parallel-factor", "1",
+                "--cpu",
+            ]
+        )
+        assert rc == 0
+        capsys.readouterr()
+
+        rc = main(["evaluate", "--pred", str(pred), "--truth", str(truth)])
+        assert rc == 0
+        metrics = json.loads(capsys.readouterr().out)
+        assert metrics["gene"]["f1"] == 1.0
+        assert metrics["nucleotide"]["f1"] == 1.0
+
+    def test_train_ce_requires_annotation(self, tmp_path):
+        fasta = tmp_path / "dna.fa"
+        fasta.write_text(">c\nACGTACGT\n")
+        rc = main(
+            ["train", "-i", str(fasta), "-o", str(tmp_path / "p.npz"),
+             "--cpu"]
+        )
+        assert rc == 2
+
+    def test_train_map_objective_unsupervised(self, tmp_path):
+        fasta = tmp_path / "dna.fa"
+        rng = np.random.default_rng(3)
+        fasta.write_text(
+            ">c\n" + "".join("ACGT"[i] for i in rng.integers(0, 4, 48)) + "\n"
+        )
+        out = tmp_path / "p.npz"
+        rc = main(
+            [
+                "train",
+                "-i", str(fasta),
+                "-o", str(out),
+                "--objective", "map",
+                "--steps", "4",
+                "--window", "16",
+                "--batch", "2",
+                "--parallel-factor", "1",
+                "--cpu",
+            ]
+        )
+        assert rc == 0 and out.exists()

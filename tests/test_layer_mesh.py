@@ -199,6 +199,32 @@ class TestSeqShardedLayer:
         paths = meshed.viterbi(params, x)
         np.testing.assert_array_equal(np.asarray(paths), np.asarray(paths_ref))
 
+    def test_posterior_cross_entropy_parity_and_grads(self):
+        """The supervised CE objective rides the sharded posterior route:
+        meshed value == dense value, grads finite and matching."""
+        mesh = self._mesh()
+        dense, meshed, params = _gene_pred_layers(
+            {"batch": "data", "seq": "seq"}, mesh
+        )
+        x = _inputs(4, 32)
+        rng = np.random.default_rng(7)
+        labels = jnp.asarray(rng.integers(0, 7, size=(1, 4, 32)))
+        ref = dense.posterior_cross_entropy(params, x, labels)
+        got = meshed.posterior_cross_entropy(params, x, labels)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-4
+        )
+        g_ref = jax.grad(
+            lambda p: dense.posterior_cross_entropy(p, x, labels)
+        )(params)
+        g = jax.grad(
+            lambda p: meshed.posterior_cross_entropy(p, x, labels)
+        )(params)
+        for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_ref)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5
+            )
+
     def test_end_hints_through_sharded_route(self):
         """Per-chunk end_hints compose with sequence sharding: hints mask
         emissions before the sharded recursion, so meshed == dense."""
