@@ -349,23 +349,23 @@ def _predict(args) -> int:
         return chunk
 
     genes_by_seq = {}
-    for name, seq in data.read_fasta(args.input):
-        enc = data.encode_dna(seq)
-        cls = class_probs_for(name, enc.shape[0])
+    # Fused file->one-hot read (native C++ when available); the reverse
+    # strand is a channel permutation of the forward encoding, so no
+    # sequence string is ever materialized.
+    for name, enc in data.read_fasta_encoded(args.input, "dna"):
+        L = enc.shape[0]
+        cls = class_probs_for(name, L)
         track = decode_contig(enc, cls)
         genes = paths_to_genes(track, num_states=15)
         if args.both_strands:
-            rc = data.revcomp(seq)
-            cls_rc = class_probs_for(
-                f"{name}__rc", len(rc), required=False
-            )
-            track_rc = decode_contig(data.encode_dna(rc), cls_rc)
+            cls_rc = class_probs_for(f"{name}__rc", L, required=False)
+            track_rc = decode_contig(data.revcomp_onehot(enc), cls_rc)
             genes = genes + flip_genes(
-                paths_to_genes(track_rc, num_states=15), len(rc)
+                paths_to_genes(track_rc, num_states=15), L
             )
             genes.sort(key=lambda g: g.start)
         genes_by_seq[name] = genes
-        print(f"{name}: L={len(seq)}, {len(genes)} genes")
+        print(f"{name}: L={L}, {len(genes)} genes")
     n = write_gff3(genes_by_seq, args.output)
     print(f"wrote {n} genes to {args.output}")
     return 0
@@ -398,13 +398,13 @@ def _train(args) -> int:
     class_probs_for = _class_probs_fn(args.class_probs)
     annot = read_gff3(args.annotation) if args.annotation else {}
 
-    def windows_of(name, seq, genes):
+    def windows_of(name, nuc, genes):
         """Supervised windows for one (possibly reverse-complemented)
-        forward-strand labeling of a contig."""
-        L = len(seq)
+        forward-strand labeling of a contig; ``nuc`` is the (L, 5)
+        one-hot nucleotide encoding."""
+        L = nuc.shape[0]
         enc = np.concatenate(
-            [class_probs_for(name, L, required=False), data.encode_dna(seq)],
-            axis=-1,
+            [class_probs_for(name, L, required=False), nuc], axis=-1
         )
         track = (
             genes_to_states(genes, L, num_states=15)
@@ -435,7 +435,8 @@ def _train(args) -> int:
 
     batches = []
     skipped_minus = 0
-    for name, seq in data.read_fasta(args.input):
+    for name, enc in data.read_fasta_encoded(args.input, "dna"):
+        L = enc.shape[0]
         genes = None
         if args.objective == "ce":
             plus = [g for g in annot.get(name, []) if g.strand == "+"]
@@ -445,18 +446,18 @@ def _train(args) -> int:
             genes = plus
             if minus and not args.both_strands:
                 skipped_minus += len(minus)
-        batches.extend(windows_of(name, seq, genes))
+        batches.extend(windows_of(name, enc, genes))
         if args.both_strands:
-            rc = data.revcomp(seq)
             rc_genes = None
             if args.objective == "ce":
                 rc_genes = flip_genes(
-                    [g for g in annot.get(name, []) if g.strand == "-"],
-                    len(seq),
+                    [g for g in annot.get(name, []) if g.strand == "-"], L
                 )
                 for g in rc_genes:
                     g.strand = "+"  # now in revcomp forward coordinates
-            batches.extend(windows_of(f"{name}__rc", rc, rc_genes))
+            batches.extend(
+                windows_of(f"{name}__rc", data.revcomp_onehot(enc), rc_genes)
+            )
     if not batches:
         print(f"error: no sequences in {args.input}", file=sys.stderr)
         return 2

@@ -23,19 +23,42 @@ Everything returns NumPy; transfer to device happens at jit boundaries
 from __future__ import annotations
 
 import gzip
+import os
 from typing import Iterable, Iterator
 
 import numpy as np
 
 __all__ = [
     "read_fasta",
+    "read_fasta_encoded",
     "revcomp",
+    "revcomp_onehot",
     "encode_dna",
     "encode_protein",
     "window_batches",
     "pad_batches",
     "PROTEIN_ALPHABET",
 ]
+
+# The C++ scanner (hmm_layer_tpu.native) accelerates plain-file FASTA
+# parsing; HMM_NATIVE_IO=0 forces the pure-Python path (and any native
+# build/load failure falls back silently — see _native_index).
+_use_native_io = os.environ.get("HMM_NATIVE_IO", "1") != "0"
+
+
+def _native_index(path):
+    """A native FastaIndex for ``path``, or None when unavailable
+    (gzip input, HMM_NATIVE_IO=0, no toolchain, ...)."""
+    if not _use_native_io or str(path).endswith(".gz"):
+        return None
+    try:
+        from . import native
+
+        if not native.available():
+            return None
+        return native.FastaIndex(path)
+    except Exception:
+        return None
 
 # learnMSA-style amino-acid alphabet: 20 canonical + B/Z/X/U/O specials;
 # the terminal symbol is channel len(PROTEIN_ALPHABET) (appended, not here).
@@ -50,7 +73,25 @@ _IUPAC = {
 
 
 def read_fasta(path) -> Iterator[tuple[str, str]]:
-    """Yield ``(header, sequence)`` pairs; supports ``.gz`` transparently."""
+    """Yield ``(header, sequence)`` pairs; supports ``.gz`` transparently.
+
+    Plain files go through the C++ scanner when it is available (one mmap
+    pass for record boundaries, whitespace-stripped extraction at memcpy
+    speed); gzip input and toolchain-less hosts use the pure-Python parser.
+    Both paths yield identical records (tests/test_native.py parity suite).
+    """
+    idx = _native_index(path)
+    if idx is not None:
+        return _read_fasta_native(idx)
+    return _read_fasta_py(path)
+
+
+def _read_fasta_native(idx) -> Iterator[tuple[str, str]]:
+    with idx:
+        yield from idx
+
+
+def _read_fasta_py(path) -> Iterator[tuple[str, str]]:
     opener = gzip.open if str(path).endswith(".gz") else open
     name, parts = None, []
     with opener(path, "rt") as fh:
@@ -63,7 +104,10 @@ def read_fasta(path) -> Iterator[tuple[str, str]]:
                     yield name, "".join(parts)
                 name, parts = line[1:].split()[0] if len(line) > 1 else "", []
             else:
-                parts.append(line)
+                # Drop interior whitespace too (malformed but seen in the
+                # wild; a kept space would encode as an 'N' channel) —
+                # keeps parity with the native scanner.
+                parts.append("".join(line.split()))
     if name is not None:
         yield name, "".join(parts)
 
@@ -86,6 +130,21 @@ def revcomp(seq: str) -> str:
     """Reverse complement of a DNA string (IUPAC-aware, case-preserving;
     unknown characters become ``N``)."""
     return seq.translate(_REVCOMP_TABLE)[::-1]
+
+
+# Channel permutation realizing complementation on ACGTN one-hot rows:
+# A<->T, C<->G, N fixed. Complementing a base *set* permutes it, so this is
+# exact for the uniform IUPAC ambiguity rows too (R={A,G} -> Y={C,T}, ...).
+_RC_PERM_DNA = np.array([3, 2, 1, 0, 4])
+
+
+def revcomp_onehot(encoded: np.ndarray) -> np.ndarray:
+    """Reverse complement of an :func:`encode_dna` output without going back
+    through strings: reverse the position axis, permute the channels.
+    ``revcomp_onehot(encode_dna(s)) == encode_dna(revcomp(s))`` exactly —
+    lets the fused native :func:`read_fasta_encoded` path drive both strands
+    of the ``predict``/``train`` CLI with no Python-string intermediate."""
+    return np.ascontiguousarray(encoded[::-1, _RC_PERM_DNA])
 
 
 def _dna_lut() -> np.ndarray:
@@ -156,6 +215,50 @@ def encode_protein(
 
 
 _PROTEIN_LUT = _protein_lut(PROTEIN_ALPHABET)
+
+
+def read_fasta_encoded(
+    path,
+    kind: str = "dna",
+    alphabet: str = PROTEIN_ALPHABET,
+    add_terminal: bool = True,
+) -> Iterator[tuple[str, np.ndarray]]:
+    """Yield ``(name, encoded)`` pairs straight from a FASTA file.
+
+    The fused native path goes file image → one-hot channels in a single
+    C++ pass (no intermediate Python strings — the zero-copy route for
+    genome-scale ``predict``/``align`` inputs); the fallback composes
+    :func:`read_fasta` with :func:`encode_dna`/:func:`encode_protein`.
+    ``kind`` is ``"dna"`` (``(L, 5)`` ACGTN channels) or ``"protein"``
+    (``(L+1, len(alphabet)+1)`` with the terminal row appended when
+    ``add_terminal``).
+    """
+    if kind not in ("dna", "protein"):
+        raise ValueError(f"kind must be 'dna' or 'protein', got {kind!r}")
+    idx = _native_index(path)
+    if idx is None:
+        for name, seq in read_fasta(path):
+            if kind == "dna":
+                yield name, encode_dna(seq)
+            else:
+                yield name, encode_protein(seq, alphabet, add_terminal)
+        return
+    if kind == "dna":
+        lut = _DNA_LUT
+    else:
+        lut = (
+            _PROTEIN_LUT
+            if alphabet == PROTEIN_ALPHABET
+            else _protein_lut(alphabet)
+        )
+    with idx:
+        for i, name in enumerate(idx.names):
+            out = idx.onehot(i, lut)
+            if kind == "protein" and add_terminal:
+                term = np.zeros((1, out.shape[-1]), out.dtype)
+                term[0, -1] = 1.0
+                out = np.concatenate([out, term], axis=0)
+            yield name, out
 
 
 def window_batches(

@@ -57,6 +57,20 @@ class TestEncoders:
         # Involution on unambiguous DNA.
         assert data.revcomp(data.revcomp("GATTACA")) == "GATTACA"
 
+    def test_revcomp_onehot_matches_string_path(self):
+        # Channel-permutation reverse complement == encode(revcomp(s)),
+        # exactly, for every IUPAC code, case, and unknown bytes.
+        seq = "ACGTacgtNRYSWKMBDHVryswkmbdhvXJ? Q"
+        np.testing.assert_array_equal(
+            data.revcomp_onehot(data.encode_dna(seq)),
+            data.encode_dna(data.revcomp(seq)),
+        )
+        # Involution.
+        e = data.encode_dna(seq)
+        np.testing.assert_array_equal(
+            data.revcomp_onehot(data.revcomp_onehot(e)), e
+        )
+
 
 class TestWindowing:
     def test_covers_and_pads(self):
