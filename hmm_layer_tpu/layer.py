@@ -343,21 +343,29 @@ class HMMLayer:
         indices, probs = t.make_A_sparse(params["transitions"])
         return t.make_initial_distribution(params["transitions"]), indices, probs
 
-    def viterbi(self, params, inputs):
-        """Most likely state paths; (m, b, L) int32."""
+    def viterbi(self, params, inputs, end_hints=None):
+        """Most likely state paths; (m, b, L) int32.
+
+        ``end_hints`` clamp chunk-border emissions exactly as in
+        :meth:`state_posterior_log_probs` (the reference threads them
+        through every recursion entry point,
+        ``MsaHMMLayer.py:98-151``) — hint-constrained MAP decoding.
+        """
         if self._sparse_route():
             from .ops import sparse
 
             init, indices, probs = self._sparse_matrices(params)
-            E = self.emission_probs(params, inputs, None, False)
+            E = self.emission_probs(params, inputs, end_hints, False)
             return sparse.sparse_viterbi(init, indices, probs, E)
-        init, A, E = self._ingredients(params, inputs, None, False)
+        init, A, E = self._ingredients(params, inputs, end_hints, False)
         return self._dispatch_viterbi(init, A, E)
 
-    def sample_paths(self, params, inputs, key, num_samples: int = 1):
+    def sample_paths(
+        self, params, inputs, key, num_samples: int = 1, end_hints=None
+    ):
         """Exact posterior path samples; (m, b, num_samples, L) int32."""
         self._require_dense("sample_paths")
-        init, A, E = self._ingredients(params, inputs, None, False)
+        init, A, E = self._ingredients(params, inputs, end_hints, False)
         return sampling.sample_posterior(
             init, A, E, key, num_samples, self._pf(E)
         )
@@ -401,13 +409,17 @@ class HMMLayer:
             loglik = jnp.mean(loglik)
         return loglik
 
-    def loss(self, params, inputs, indices=None, training=True):
+    def loss(self, params, inputs, indices=None, training=True, end_hints=None):
         """Negative (MAP) training objective, scalar.
 
         Mirrors ``MsaHmmLayer.forward`` (``MsaHMMLayer.py:180-208``):
         mean weighted loglik + scaled prior − aux losses, negated.
+        ``end_hints`` clamp chunk-border emissions (hint-constrained MAP
+        training, ``MsaHMMLayer.py:98-151``).
         """
-        ll = self.log_likelihood(params, inputs, training=training)
+        ll = self.log_likelihood(
+            params, inputs, end_hints=end_hints, training=training
+        )
         ll_mean = self.apply_sequence_weights(ll, indices, aggregate=True)
         objective = ll_mean
         if self.use_prior:
@@ -468,9 +480,11 @@ class HMMLayer:
             loss = loss - jnp.mean(self.compute_prior(params))
         return loss + self.aux_loss(params)
 
-    def __call__(self, params, inputs, indices=None, training=False):
+    def __call__(self, params, inputs, indices=None, training=False, end_hints=None):
         """(loglik (m, b), aggregated loglik[, prior (m,), aux_loss])."""
-        ll = self.log_likelihood(params, inputs, training=training)
+        ll = self.log_likelihood(
+            params, inputs, end_hints=end_hints, training=training
+        )
         ll_mean = self.apply_sequence_weights(ll, indices, aggregate=True)
         if self.use_prior:
             return ll, ll_mean, self.compute_prior(params), self.aux_loss(params)

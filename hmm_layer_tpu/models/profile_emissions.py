@@ -170,6 +170,61 @@ class ProfileEmissions:
     def aux_loss(self, params):
         return jnp.zeros((), jnp.float32)
 
+    def resize(self, params, new_lengths, key, keep=None):
+        """Param-preserving re-target to new model lengths — the emitter
+        half of learnMSA's iterative length adaptation (the reference's
+        ``set_lengths`` re-targets but rebuilds kernels from initializers,
+        ``/root/reference/hmm_layer/Emitter.py:36-50``). Match-kernel rows
+        of surviving columns carry over; new columns draw fresh initializer
+        values; the insertion kernel is column-independent and copies.
+
+        Args:
+            params: current parameter pytree.
+            new_lengths: new match-state count per model.
+            key: PRNG key for fresh rows.
+            keep: per-model maps new column -> old column or -1
+                (:meth:`ProfileTransitions._resize_keep` semantics);
+                default grows/shrinks at the model end.
+
+        Returns:
+            ``(new_emissions, new_params)``.
+        """
+        from .profile_transitions import ProfileTransitions
+
+        if np.isscalar(new_lengths):
+            new_lengths = [new_lengths]
+        new_lengths = list(new_lengths)
+        if len(new_lengths) != self.num_models:
+            raise ValueError(
+                f"{len(new_lengths)} new lengths for {self.num_models} models"
+            )
+        keep = ProfileTransitions._resize_keep(self.lengths, new_lengths, keep)
+        new_model = ProfileEmissions(
+            new_lengths,
+            emission_init=self.emission_init,
+            insertion_init=self.insertion_init,
+            prior=self.prior,
+            frozen_insertions=self.frozen_insertions,
+        )
+        s = params["emission_kernel"][0].shape[-1]
+        fresh = new_model.init_params(key, input_dim=s + 1)
+        em = []
+        for i in range(self.num_models):
+            k = keep[i]
+            rows = fresh["emission_kernel"][i]
+            new_idx = np.flatnonzero(k >= 0)
+            if new_idx.size:
+                rows = rows.at[new_idx].set(
+                    params["emission_kernel"][i][k[new_idx]]
+                )
+            em.append(rows)
+        return new_model, {
+            "emission_kernel": em,
+            "insertion_kernel": [
+                jnp.copy(v) for v in params["insertion_kernel"]
+            ],
+        }
+
     def duplicate(self, params, model_indices=None, share_kernels: bool = False):
         """Sub-select / copy models (``Emitter.py:171-197``)."""
         if model_indices is None:

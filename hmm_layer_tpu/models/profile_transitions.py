@@ -321,6 +321,163 @@ class ProfileTransitions:
             sub = jax.tree.map(jnp.copy, sub)
         return copy, sub
 
+    # -- param-preserving length adaptation ---------------------------------------
+
+    @staticmethod
+    def _resize_keep(old_lengths, new_lengths, keep):
+        """Normalize/validate the per-model new-column -> old-column maps.
+
+        Each map is an int array of length ``new_length``: entry ``j`` is
+        the old match column (0-based) surviving at new position ``j``, or
+        ``-1`` for a fresh column. Non-negative entries must be strictly
+        increasing (columns keep their order). Default: identity prefix
+        (grow/shrink at the model's end).
+        """
+        if keep is None:
+            keep = []
+            for lo, ln in zip(old_lengths, new_lengths):
+                k = np.full(ln, -1, np.int64)
+                n = min(lo, ln)
+                k[:n] = np.arange(n)
+                keep.append(k)
+            return keep
+        keep = [np.asarray(k, np.int64) for k in keep]
+        for i, (k, lo, ln) in enumerate(zip(keep, old_lengths, new_lengths)):
+            if k.shape != (ln,):
+                raise ValueError(
+                    f"keep[{i}] has shape {k.shape}, expected ({ln},)"
+                )
+            kept = k[k >= 0]
+            if kept.size and (kept.max() >= lo or np.any(np.diff(kept) <= 0)):
+                raise ValueError(
+                    f"keep[{i}] must map to old columns < {lo} in strictly "
+                    f"increasing order; got {k.tolist()}"
+                )
+        return keep
+
+    # Entry-index semantics of the explicit kernel parts, used to carry
+    # trained values across a resize. "col": entry j belongs to match
+    # column j. "pair": entry j belongs to consecutive columns (j, j+1).
+    # "mtd": match_to_delete, entry j is the edge (column j-1 | BEGIN) ->
+    # delete shadow of column j. "dtm": delete_to_match, entry j is the
+    # edge delete(j) -> (column j+1 | END).
+    _RESIZE_PART_KINDS = {
+        "begin_to_match": "col",
+        "match_to_end": "col",
+        "match_to_match": "pair",
+        "match_to_insert": "pair",
+        "insert_to_match": "pair",
+        "insert_to_insert": "pair",
+        "match_to_delete": "mtd",
+        "delete_to_match": "dtm",
+        "delete_to_delete": "pair",
+    }
+
+    @staticmethod
+    def _resize_entry_map(kind, k, old_length):
+        """(new_idx, old_idx) entry pairs preserved by the column map ``k``."""
+        ln = len(k)
+        new_idx, old_idx = [], []
+        if kind == "col":
+            for j in range(ln):
+                if k[j] >= 0:
+                    new_idx.append(j)
+                    old_idx.append(int(k[j]))
+        elif kind == "pair":
+            for j in range(ln - 1):
+                if k[j] >= 0 and k[j + 1] == k[j] + 1:
+                    new_idx.append(j)
+                    old_idx.append(int(k[j]))
+        elif kind == "mtd":
+            if ln and k[0] == 0:  # BEGIN -> delete(0) survives iff col 0 does
+                new_idx.append(0)
+                old_idx.append(0)
+            for j in range(1, ln):
+                if k[j - 1] >= 0 and k[j] == k[j - 1] + 1:
+                    new_idx.append(j)
+                    old_idx.append(int(k[j]))
+        elif kind == "dtm":
+            for j in range(ln - 1):
+                if k[j] >= 0 and k[j + 1] == k[j] + 1:
+                    new_idx.append(j)
+                    old_idx.append(int(k[j]))
+            if ln and k[ln - 1] == old_length - 1:  # delete(last) -> END
+                new_idx.append(ln - 1)
+                old_idx.append(old_length - 1)
+        else:  # pragma: no cover
+            raise AssertionError(kind)
+        return np.asarray(new_idx, np.int64), np.asarray(old_idx, np.int64)
+
+    def resize(self, params, new_lengths, key, keep=None):
+        """Param-preserving re-target to new model lengths.
+
+        The learnMSA iterative length-adaptation hook: the reference's
+        ``set_lengths`` re-targets a transitioner but rebuilds every kernel
+        from its initializers (``/root/reference/hmm_layer/Transitioner.py:
+        39-61``); here the trained logits of every surviving edge carry
+        over and only edges touching *new* columns draw fresh initializer
+        values.
+
+        Args:
+            params: current parameter pytree.
+            new_lengths: new match-state count per model (scalar or list of
+                ``num_models`` ints).
+            key: PRNG key for the fresh entries of grown kernels.
+            keep: optional per-model maps new column -> old column
+                (see :meth:`_resize_keep`); default grows/shrinks at the
+                model end.
+
+        Returns:
+            ``(new_transitions, new_params)``.
+        """
+        if np.isscalar(new_lengths):
+            new_lengths = [new_lengths]
+        new_lengths = list(new_lengths)
+        if len(new_lengths) != self.num_models:
+            raise ValueError(
+                f"{len(new_lengths)} new lengths for {self.num_models} models"
+            )
+        keep = self._resize_keep(self.lengths, new_lengths, keep)
+        new_model = ProfileTransitions(
+            new_lengths,
+            transition_init=self.transition_init,
+            flank_init=self.flank_init,
+            prior=self.prior,
+            frozen_kernels=self.frozen_kernels,
+            structured_forward=self.structured_forward,
+        )
+        fresh = new_model.init_params(key)
+        kernels = []
+        for i, (lo, parts) in enumerate(
+            zip(self.lengths, new_model.explicit_parts)
+        ):
+            k = keep[i]
+            old_kernel = params["kernels"][i]
+            new_kernel = {}
+            seen = set()
+            for name, _ in parts:
+                canon = _canonical_name(name)
+                if canon in seen:
+                    continue
+                seen.add(canon)
+                vec = fresh["kernels"][i][canon]
+                kind = self._RESIZE_PART_KINDS.get(canon)
+                if kind is None:  # scalar flank/segment parts: copy
+                    vec = old_kernel[canon]
+                else:
+                    new_idx, old_idx = self._resize_entry_map(kind, k, lo)
+                    if new_idx.size:
+                        vec = vec.at[new_idx].set(old_kernel[canon][old_idx])
+                new_kernel[canon] = vec
+            kernels.append(new_kernel)
+        new_params = {
+            "kernels": kernels,
+            "flank_init_kernel": [
+                jnp.copy(v) for v in params["flank_init_kernel"]
+            ],
+        }
+        return new_model, new_params
+
     def trainable_mask(self, params) -> dict:
         """Boolean pytree marking trainable leaves (frozen kernel support).
 

@@ -128,6 +128,69 @@ class TestGenePredChunkHints:
         assert np.any(np.asarray(g_hints) != 0)
 
 
+class TestThreadedEndHints:
+    """``loss`` / ``viterbi`` / ``sample_paths`` forward the same hint
+    tensors as ``state_posterior_log_probs`` (the reference threads
+    ``end_hints`` through every recursion entry point,
+    ``MsaHMMLayer.py:98-151``)."""
+
+    def _setup(self, P=3, L=18, b=3):
+        em = SimpleGenePredEmissions()
+        eparams = em.init_params(KEY, input_dim=7)
+        rng = np.random.default_rng(21)
+        x = jnp.asarray(rng.uniform(0.1, 1.0, (1, b, L, 7)).astype(np.float32))
+        hints = jnp.asarray(
+            rng.uniform(0.2, 1.0, (1, b, P, 2, 7)).astype(np.float32)
+        )
+        layer = HMMLayer(
+            SimpleGenePredTransitions(), em, use_prior=False, parallel_factor=P
+        )
+        params = {
+            "transitions": layer.transitions.init_params(KEY),
+            "emissions": [eparams],
+        }
+        E_masked = jnp.asarray(mask_oracle(em.emissions(eparams, x), hints))
+        return layer, params, x, hints, E_masked
+
+    def test_loss_parity(self):
+        layer, params, x, hints, E_masked = self._setup()
+        got = float(layer.loss(params, x, end_hints=hints))
+        init, A = layer.transitions.matrices(params["transitions"])
+        _, ll = recursion.forward(init, A, E_masked, layer.parallel_factor)
+        want = -float(jnp.mean(ll)) + float(layer.aux_loss(params))
+        np.testing.assert_allclose(got, want, rtol=2e-5)
+        assert got != float(layer.loss(params, x))
+
+    def test_viterbi_parity(self):
+        layer, params, x, hints, E_masked = self._setup()
+        got = np.asarray(layer.viterbi(params, x, end_hints=hints))
+        init, A = layer.transitions.matrices(params["transitions"])
+        ref = np.asarray(recursion.viterbi(init, A, E_masked, 1))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_sample_paths_parity(self):
+        from hmm_layer_tpu.ops import sampling
+
+        layer, params, x, hints, E_masked = self._setup()
+        key = jax.random.PRNGKey(5)
+        got = np.asarray(
+            layer.sample_paths(params, x, key, num_samples=4, end_hints=hints)
+        )
+        init, A = layer.transitions.matrices(params["transitions"])
+        ref = np.asarray(
+            sampling.sample_posterior(
+                init, A, E_masked, key, 4, layer.parallel_factor
+            )
+        )
+        np.testing.assert_array_equal(got, ref)
+
+    def test_loss_differentiable_in_hints(self):
+        layer, params, x, hints, _ = self._setup()
+        g = jax.grad(lambda h: layer.loss(params, x, end_hints=h))(hints)
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert np.any(np.asarray(g) != 0)
+
+
 class TestProfileChunkHints:
     @pytest.mark.parametrize("P", [1, 3])
     def test_emitter_parity(self, P):
