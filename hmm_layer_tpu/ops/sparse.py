@@ -21,9 +21,15 @@ to RUN large-q gene-pred models there. No MXU mapping exists for sparse
 contractions; this trades
 peak FLOP/s for O(q²→n) memory and bandwidth, the right trade exactly
 when the dense matrix would not fit or sparsity ≪ 1/8 (the Plan7 /
-gene-pred regimes). Gradients flow by reverse-mode autodiff through the
-scans (gather and segment-sum are linear); the dense engine's analytic
-VJPs do not apply.
+gene-pred regimes).
+
+Gradients: :func:`sparse_log_likelihood` and :func:`sparse_posterior`
+carry analytic ``custom_vjp`` adjoints over the edge lists (Baum-Welch
+statistics for the loglik; the gamma-centered adjoint recursions of the
+dense engine with the dense matvec/einsum replaced by gather +
+segment-reduce, so the backward pass is O(L·n_edges·b) work and O(L·q)
+residual memory — never O(q²)). ``analytic_vjp=False`` selects the taped
+reverse-mode autodiff path (also the forward-mode route).
 
 Edge probabilities come from
 :func:`hmm_layer_tpu.models.transition_utils.sparse_edge_softmax` or a
@@ -31,6 +37,8 @@ transitioner's ``make_A_sparse``.
 """
 
 from __future__ import annotations
+
+from functools import partial
 
 import numpy as np
 import jax
@@ -52,6 +60,59 @@ _NEG = -1e30
 
 def _clamped(x):
     return jnp.maximum(x, EPS)
+
+
+class EdgePlan:
+    """Hashable static edge preprocessing for the custom-VJP fast paths.
+
+    Precomputes both sort orders (by destination for forward-direction
+    reductions, by source for backward-direction ones) plus the inverse
+    permutations mapping sorted-edge gradients back to the caller's edge
+    order. Hashable so it can ride ``jax.custom_vjp`` ``nondiff_argnums``.
+    """
+
+    __slots__ = (
+        "n", "indices", "src_d", "dst_d", "perm_d", "inv_d",
+        "src_s", "dst_s", "perm_s", "_key",
+    )
+
+    def __init__(self, indices):
+        indices = np.asarray(indices)
+        assert indices.ndim == 2 and indices.shape[1] == 2, indices.shape
+        self.indices = indices
+        self.n = indices.shape[0]
+        perm_d = np.argsort(indices[:, 1], kind="stable")
+        self.src_d = indices[perm_d, 0]
+        self.dst_d = indices[perm_d, 1]
+        self.perm_d = perm_d
+        inv = np.empty(self.n, np.int64)
+        inv[perm_d] = np.arange(self.n)
+        self.inv_d = inv
+        perm_s = np.argsort(indices[:, 0], kind="stable")
+        self.src_s = indices[perm_s, 0]
+        self.dst_s = indices[perm_s, 1]
+        self.perm_s = perm_s
+        self._key = (indices.shape[0], indices.tobytes())
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return isinstance(other, EdgePlan) and self._key == other._key
+
+    def matvec(self, edge_probs, y, q, transpose: bool = False):
+        """``A @ y`` (or ``A.T @ y``) over the edge list; y: (..., q).
+
+        ``(A @ y)[i] = sum_{e: src=i} w_e y[dst_e]`` — gather at dst,
+        segment-sum by src (src-sorted); transpose swaps the roles.
+        """
+        if transpose:
+            w = edge_probs[..., self.perm_d][:, None, :]
+            contrib = y[..., self.src_d] * w
+            return _segsum(contrib, self.dst_d, q)
+        w = edge_probs[..., self.perm_s][:, None, :]
+        contrib = y[..., self.dst_s] * w
+        return _segsum(contrib, self.src_s, q)
 
 
 def _edge_plan(indices, edge_probs, E, sort_by):
@@ -145,8 +206,20 @@ def sparse_backward(indices, edge_probs, E):
     return jnp.moveaxis(log_beta, 0, 2)
 
 
-def sparse_log_likelihood(init, indices, edge_probs, E):
-    """(m, b) log-likelihoods; differentiable (autodiff through the scan)."""
+def sparse_log_likelihood(init, indices, edge_probs, E, analytic_vjp=True):
+    """(m, b) log-likelihoods over the edge list.
+
+    ``analytic_vjp=True`` (default) attaches the Baum-Welch adjoint
+    (one forward + one backward recompute, O(L·q) residuals, reverse-mode
+    only); ``False`` tapes the scan (forward-mode capable, O(L·n_edges·b)
+    residuals).
+    """
+    if analytic_vjp:
+        return _sparse_loglik_fast(EdgePlan(indices), init, edge_probs, E)
+    return _sparse_loglik_taped(init, indices, edge_probs, E)
+
+
+def _sparse_loglik_taped(init, indices, edge_probs, E):
     src, dst, perm = _edge_plan(indices, edge_probs, E, "dst")
     q = E.shape[-1]
     Et = jnp.moveaxis(E, 2, 0)
@@ -167,8 +240,24 @@ def sparse_log_likelihood(init, indices, edge_probs, E):
     return ll
 
 
-def sparse_posterior(init, indices, edge_probs, E, no_loglik: bool = False):
-    """Posterior state log-probabilities; (log_gamma, loglik)."""
+def sparse_posterior(
+    init, indices, edge_probs, E, no_loglik: bool = False, analytic_vjp=True
+):
+    """Posterior state log-probabilities; (log_gamma, loglik).
+
+    ``analytic_vjp=True`` (default) attaches the gamma-centered analytic
+    adjoint (edge-list port of the dense engine's
+    ``_posterior_analytic_vjp``; reverse-mode only); ``False`` tapes the
+    forward/backward scans.
+    """
+    if analytic_vjp:
+        return _sparse_posterior_fast(
+            EdgePlan(indices), bool(no_loglik), init, edge_probs, E
+        )
+    return _sparse_posterior_taped(init, indices, edge_probs, E, no_loglik)
+
+
+def _sparse_posterior_taped(init, indices, edge_probs, E, no_loglik=False):
     la, ll = sparse_forward(init, indices, edge_probs, E)
     lb = sparse_backward(indices, edge_probs, E)
     lg = la + lb
@@ -230,3 +319,181 @@ def sparse_viterbi(init, indices, edge_probs, E):
     _, path_rev = lax.scan(backstep, last_state, backptrs, reverse=True)
     path = jnp.concatenate([path_rev, last_state[None]], axis=0)
     return jnp.moveaxis(path, 0, 2)
+
+
+# ---------------------------------------------------------------------------
+# Analytic custom-VJP fast paths (edge-list Baum-Welch / adjoint recursions)
+# ---------------------------------------------------------------------------
+#
+# These mirror the dense engine's analytic VJPs (ops/recursion.py
+# _loglik_bw_stats / _posterior_analytic_vjp) with the two dense-A
+# touchpoints replaced by edge-list primitives: the affine adjoint solves
+# use EdgePlan.matvec (gather + sorted segment-sum) and the gA einsums
+# become per-edge gathered outer-product sums accumulated in a scan — so
+# the backward pass never materializes anything O(q^2) or O(L * n_edges).
+
+
+def _sparse_affine_reverse(plan, edge_probs, u, v, c, transpose):
+    """Sequential solve of ``x_t = c_t + u_t * (B @ (v_t * x_{t+1}))`` with
+    terminal ``x_L = 0``; B is the edge-list operator (or its transpose)."""
+    m, b, L, q = c.shape
+    tm = lambda x: jnp.moveaxis(x, 2, 0)
+
+    def step(x_next, inp):
+        u_t, v_t, c_t = inp
+        x_t = c_t + u_t * plan.matvec(edge_probs, v_t * x_next, q, transpose)
+        return x_t, x_t
+
+    x_term = jnp.zeros((m, b, q), c.dtype)
+    _, xs = lax.scan(step, x_term, (tm(u), tm(v), tm(c)), reverse=True)
+    return jnp.moveaxis(xs, 0, 2)
+
+
+def _edge_outer_sum(plan, F, G):
+    """``sum_{t,b} F[m,b,t,src_e] * G[m,b,t,dst_e]`` per edge; (m, n) in
+    the caller's edge order. O(T * b * n) work, O(b * n) peak memory."""
+    m = F.shape[0]
+    src = jnp.asarray(plan.src_d)
+    dst = jnp.asarray(plan.dst_d)
+
+    def step(acc, inp):
+        f_t, g_t = inp  # (m, b, q) each
+        return acc + jnp.sum(f_t[..., src] * g_t[..., dst], axis=1), None
+
+    acc0 = jnp.zeros((m, plan.n), F.dtype)
+    acc, _ = lax.scan(
+        step, acc0, (jnp.moveaxis(F, 2, 0), jnp.moveaxis(G, 2, 0))
+    )
+    return acc[:, plan.inv_d]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _sparse_loglik_fast(plan, init, edge_probs, E):
+    return _sparse_loglik_taped(init, plan.indices, edge_probs, E)
+
+
+def _sparse_loglik_fast_fwd(plan, init, edge_probs, E):
+    ll = _sparse_loglik_taped(init, plan.indices, edge_probs, E)
+    return ll, (init, edge_probs, E)
+
+
+def _sparse_loglik_fast_bwd(plan, res, ct):
+    """Baum-Welch statistics over the edge list (cf. _loglik_bw_stats):
+
+        dll/dE_t(j) = gamma_t(j) / E_t(j)
+        dll/dw_e    = sum_t alpha_{t-1}(src_e) E_t(dst_e) beta_t(dst_e) / P(x)
+        dll/dpi(i)  = E_0(i) beta_0(i) / P(x)
+
+    with zero gradient where the init/E EPS clamps bind (edge probs are
+    not clamped by the recursions, matching the dense engine's A).
+    """
+    init, edge_probs, E = res
+    la, ll = sparse_forward(init, plan.indices, edge_probs, E)
+    lb = sparse_backward(plan.indices, edge_probs, E)
+    log_E = jnp.log(_clamped(E))
+
+    lgam = la + lb - ll[..., None, None]
+    gE = jnp.exp(lgam - log_E) * (E >= EPS) * ct[..., None, None]
+    ginit = (
+        jnp.sum(
+            jnp.exp(log_E[:, :, 0] + lb[:, :, 0] - ll[..., None])
+            * ct[..., None],
+            axis=1,
+        )
+        * (init >= EPS)
+    )
+    # Balanced per-step shifts keep both factors in f32 range (their
+    # product is O(1); either alone would over/underflow at |ll| ~ L).
+    csh = jnp.max(la[:, :, :-1], axis=-1, keepdims=True)
+    W = jnp.exp(la[:, :, :-1] - csh)
+    U = (
+        jnp.exp(lb[:, :, 1:] + log_E[:, :, 1:] - ll[..., None, None] + csh)
+        * ct[..., None, None]
+    )
+    g_edge = _edge_outer_sum(plan, W, U)
+    return ginit, g_edge, gE
+
+
+_sparse_loglik_fast.defvjp(_sparse_loglik_fast_fwd, _sparse_loglik_fast_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _sparse_posterior_fast(plan, no_loglik, init, edge_probs, E):
+    return _sparse_posterior_taped(
+        init, plan.indices, edge_probs, E, no_loglik
+    )
+
+
+def _sparse_posterior_fast_fwd(plan, no_loglik, init, edge_probs, E):
+    la, ll = sparse_forward(init, plan.indices, edge_probs, E)
+    lb = sparse_backward(plan.indices, edge_probs, E)
+    lg = la + lb
+    if not no_loglik:
+        lg = lg - ll[..., None, None]
+    return (lg, ll), (init, edge_probs, E, la, lg, ll)
+
+
+def _sparse_posterior_fast_bwd(plan, no_loglik, res, cts):
+    """Edge-list port of the dense gamma-centered posterior adjoint
+    (ops/recursion.py _posterior_analytic_vjp — see there for the
+    stability derivation; everything except the two affine solves and the
+    gA contractions is elementwise in q and carries over verbatim)."""
+    from . import recursion as _rec
+
+    init, edge_probs, E, la, lg, ll = res
+    ct, ct_ll_direct = cts
+    lb = lg - la
+    if not no_loglik:
+        lb = lb + ll[..., None, None]
+    m, b, L, q = E.shape
+    log_E = jnp.log(_clamped(E))
+    maskE = E >= EPS
+    gam = jnp.exp(la + lb - ll[..., None, None])
+
+    sig = jnp.sum(ct, axis=-1)
+    sig_tot = jnp.sum(sig, axis=-1)
+    ct_ll_eff = ct_ll_direct if no_loglik else ct_ll_direct - sig_tot
+
+    src_c = ct - gam * sig[..., None]
+    f, gbar = _rec._forward_adjoint_weights(la, log_E)
+    fp, gp, sp, elb = _rec._backward_adjoint_weights(lb, log_E)
+    flip = lambda x: jnp.flip(x, axis=2)
+
+    bhat = _sparse_affine_reverse(
+        plan, edge_probs, f, gbar, src_c, transpose=False
+    )
+    chat = flip(
+        _sparse_affine_reverse(
+            plan, edge_probs, flip(gp), flip(fp), flip(src_c), transpose=True
+        )
+    )
+    # Project out numerical drift along the growing gamma mode (the exact
+    # residuals are zero-sum; see the dense derivation).
+    bhat = bhat - gam * jnp.sum(bhat, axis=-1, keepdims=True)
+    chat = chat - gam * jnp.sum(chat, axis=-1, keepdims=True)
+
+    K = sig + ct_ll_direct[..., None]
+    if no_loglik:
+        K = K + sig_tot[..., None]
+    gE = (gam * K[..., None] + bhat + chat - ct) / _clamped(E) * maskE
+
+    R0 = sig_tot + ct_ll_eff
+    bar0 = gam[:, :, 0] * R0[..., None] + bhat[:, :, 0]
+    ginit = jnp.sum(bar0, axis=1) / _clamped(init) * (init >= EPS)
+
+    kappa = ct_ll_direct + (sig_tot if no_loglik else 0.0)
+    F, G_of, csh = _rec._forward_gA_factors(la, log_E)
+    xi_u = (
+        jnp.exp(lb[:, :, 1:] + log_E[:, :, 1:] - ll[..., None, None] + csh)
+        * kappa[..., None, None]
+    )
+    Fp_of, Gp = _rec._backward_gA_factors(lb, sp, elb)
+    g_edge = _edge_outer_sum(plan, F, xi_u + G_of(bhat)) + _edge_outer_sum(
+        plan, Fp_of(chat), Gp
+    )
+    return ginit, g_edge, gE
+
+
+_sparse_posterior_fast.defvjp(
+    _sparse_posterior_fast_fwd, _sparse_posterior_fast_bwd
+)

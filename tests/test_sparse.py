@@ -183,6 +183,115 @@ class TestSparseRecursions:
         )
 
 
+class TestSparseAnalyticVJP:
+    """The analytic edge-list adjoints (default) match taped autodiff —
+    at realistic sequence lengths (L=1200, the scale the dense analytic
+    posterior adjoint was validated at), both objectives, both
+    ``no_loglik`` modes, gradients wrt (init, edge_probs, E)."""
+
+    def _setup(self, L, k=1, b=2, seed=11):
+        trans = GenePredMultiTransitions(k=k)
+        params = trans.init_params(jax.random.fold_in(KEY, seed))
+        init = trans.make_initial_distribution(params)
+        indices, probs = trans.make_A_sparse(params)
+        rng = np.random.default_rng(seed)
+        E = _emissions(rng, trans.num_models, b, L, trans.num_states)
+        return init, indices, probs, E
+
+    @staticmethod
+    def _compare(g_fast, g_taped, rtol=5e-3):
+        for a, b in zip(g_fast, g_taped):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(np.abs(b).max(), 1e-8)
+            np.testing.assert_allclose(a, b, rtol=rtol, atol=rtol * scale)
+
+    @pytest.mark.parametrize("L", [40, 1200])
+    def test_loglik_grads_match_taped(self, L):
+        init, indices, probs, E = self._setup(L)
+
+        def f(analytic):
+            return lambda i, p, e: jnp.sum(
+                sparse.sparse_log_likelihood(
+                    i, indices, p, e, analytic_vjp=analytic
+                )
+            )
+
+        g_fast = jax.grad(f(True), argnums=(0, 1, 2))(init, probs, E)
+        g_taped = jax.grad(f(False), argnums=(0, 1, 2))(init, probs, E)
+        self._compare(g_fast, g_taped)
+
+    @pytest.mark.parametrize("L", [40, 1200])
+    @pytest.mark.parametrize("no_loglik", [False, True])
+    def test_posterior_grads_match_taped(self, L, no_loglik):
+        init, indices, probs, E = self._setup(L, seed=13)
+        rng = np.random.default_rng(17)
+        w = jnp.asarray(
+            rng.uniform(0.0, 1.0, E.shape).astype(np.float32)
+        )  # random cotangent weights on log_gamma
+
+        def f(analytic):
+            def loss(i, p, e):
+                lg, ll = sparse.sparse_posterior(
+                    i, indices, p, e,
+                    no_loglik=no_loglik, analytic_vjp=analytic,
+                )
+                return jnp.sum(lg * w) + 0.25 * jnp.sum(ll)
+
+            return loss
+
+        g_fast = jax.grad(f(True), argnums=(0, 1, 2))(init, probs, E)
+        g_taped = jax.grad(f(False), argnums=(0, 1, 2))(init, probs, E)
+        self._compare(g_fast, g_taped)
+
+    def test_posterior_grads_match_dense_engine(self):
+        """Posterior-CE gradient through the sparse analytic adjoint ==
+        through the dense engine's analytic adjoint (independent oracle)."""
+        trans = SimpleGenePredTransitions()
+        params = trans.init_params(KEY)
+        rng = np.random.default_rng(23)
+        E = _emissions(rng, 1, 2, 64, trans.num_states)
+        init = trans.make_initial_distribution(params)
+        labels = rng.integers(0, trans.num_states, size=(1, 2, 64))
+        onehot = jnp.asarray(
+            np.eye(trans.num_states, dtype=np.float32)[labels]
+        )
+
+        def dense_loss(kernel, e):
+            A = masked_row_softmax_from_edges(
+                trans.indices, kernel, trans.num_states
+            )[None]
+            lg, _ = recursion.posterior(init, A, e)
+            return -jnp.mean(jnp.sum(lg * onehot, axis=-1))
+
+        def sparse_loss(kernel, e):
+            probs = sparse_edge_softmax(
+                trans.indices, kernel, trans.num_states
+            )[None]
+            lg, _ = sparse.sparse_posterior(init, trans.indices, probs, e)
+            return -jnp.mean(jnp.sum(lg * onehot, axis=-1))
+
+        g_ref = jax.grad(dense_loss, argnums=(0, 1))(
+            params["transition_kernel"], E
+        )
+        g = jax.grad(sparse_loss, argnums=(0, 1))(
+            params["transition_kernel"], E
+        )
+        self._compare(g, g_ref, rtol=2e-3)
+
+    def test_fast_primal_matches_taped_primal(self):
+        init, indices, probs, E = self._setup(40)
+        ll_f = sparse.sparse_log_likelihood(init, indices, probs, E)
+        ll_t = sparse.sparse_log_likelihood(
+            init, indices, probs, E, analytic_vjp=False
+        )
+        np.testing.assert_array_equal(np.asarray(ll_f), np.asarray(ll_t))
+        lg_f, _ = sparse.sparse_posterior(init, indices, probs, E)
+        lg_t, _ = sparse.sparse_posterior(
+            init, indices, probs, E, analytic_vjp=False
+        )
+        np.testing.assert_array_equal(np.asarray(lg_f), np.asarray(lg_t))
+
+
 class TestLayerSparseRoute:
     """HMMLayer(transitions with sparse_forward=True) routes loss /
     posterior / viterbi through the COO engine with identical results."""
