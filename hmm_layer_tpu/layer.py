@@ -95,8 +95,13 @@ class HMMLayer:
             )
         if "seq" in self.partition and "state" in self.partition:
             raise NotImplementedError(
-                "combined sequence+state sharding is not supported; pick "
-                "one (either combines with 'batch')"
+                "combined sequence+state sharding is deliberately "
+                "unsupported: the composition has no beneficial regime on "
+                "the measured map (docs/API.md 'Combined seq+state "
+                "sharding' — seq sharding's q*q chunk summaries cost O(q^3) "
+                "and lose above q~16, exactly where state sharding starts "
+                "to pay). Use state (+batch) sharding for big-q long-L "
+                "models; either axis combines with 'batch'."
             )
         if mesh is not None:
             for logical, name in self.partition.items():

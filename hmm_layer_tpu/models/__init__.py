@@ -17,7 +17,13 @@ from .gene_pred_transitions import (
     GenePredTransitions,
     SimpleGenePredTransitions,
 )
-from .msa import AMINO_ALPHABET, paths_to_msa, write_msa
+from .msa import (
+    AMINO_ALPHABET,
+    evaluate_msa,
+    msa_column_maps,
+    paths_to_msa,
+    write_msa,
+)
 from .mvn import MvnMixture
 from .priors import AminoAcidPrior, FixedDirichlet, ProfileHMMTransitionPrior
 from .profile_emissions import ProfileEmissions
@@ -26,6 +32,7 @@ from .profile_transitions import (
     get_num_states,
     get_num_states_implicit,
 )
+from .simulate import SimulatedGenome, sample_hmm_sequences, simulate_genome
 
 __all__ = [
     "AMINO_ALPHABET",
@@ -42,17 +49,22 @@ __all__ = [
     "ProfileTransitions",
     "SimpleGenePredEmissions",
     "SimpleGenePredTransitions",
+    "SimulatedGenome",
     "dirichlet_log_pdf",
     "evaluate_annotation",
+    "evaluate_msa",
     "flip_genes",
     "genes_to_gff3",
     "genes_to_states",
     "get_num_states",
     "get_num_states_implicit",
     "load_mixture_model",
+    "msa_column_maps",
     "paths_to_genes",
     "paths_to_msa",
     "read_gff3",
+    "sample_hmm_sequences",
+    "simulate_genome",
     "write_gff3",
     "write_msa",
 ]

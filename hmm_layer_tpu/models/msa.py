@@ -30,7 +30,13 @@ from ..data import PROTEIN_ALPHABET
 # as X.
 AMINO_ALPHABET = PROTEIN_ALPHABET
 
-__all__ = ["AMINO_ALPHABET", "paths_to_msa", "write_msa"]
+__all__ = [
+    "AMINO_ALPHABET",
+    "paths_to_msa",
+    "write_msa",
+    "msa_column_maps",
+    "evaluate_msa",
+]
 
 
 def paths_to_msa(
@@ -121,6 +127,89 @@ def paths_to_msa(
             if j < Lm:
                 rows[i] += match_rows[i][j + 1]
     return rows
+
+
+def msa_column_maps(rows):
+    """Per-row ``{residue_index: match_column}`` maps from a2m-style rows.
+
+    The inverse view of :func:`paths_to_msa`'s convention: uppercase
+    letters sit in match columns, ``-`` is a match column the sequence
+    skips, lowercase letters and ``.`` are insertion positions (no
+    column). Residue indices count ALL residues of the sequence
+    (uppercase and lowercase), so the maps are comparable across
+    alignments of the same sequences regardless of column layout.
+    """
+    maps = []
+    for row in rows:
+        col, res, m = 0, 0, {}
+        for ch in row:
+            if ch == "-":
+                col += 1
+            elif ch == ".":
+                pass
+            elif ch.isupper():
+                m[res] = col
+                res += 1
+                col += 1
+            else:  # lowercase insertion
+                res += 1
+        maps.append(m)
+    return maps
+
+
+def evaluate_msa(pred_rows, true_rows) -> dict:
+    """Alignment accuracy of a predicted MSA against a planted truth.
+
+    The learnMSA-deliverable quality metric the reference never ships:
+    both alignments (same sequences, same order, any column layout) are
+    reduced to aligned-residue-PAIR sets and scored like the standard
+    SP/modeler pair (recall = sum-of-pairs score, precision = modeler
+    score), plus the total-column (TC) score.
+
+    Args:
+      pred_rows / true_rows: equal-length lists of a2m-style rows
+        (:func:`paths_to_msa` output or any alignment following the same
+        uppercase/lowercase/gap convention).
+
+    Returns:
+      ``{"pairs": {tp, fp, fn, precision, recall, f1}, "column_score": c}``
+      where pairs are ``((seq_i, res_i), (seq_j, res_j))`` co-aligned in a
+      match column and ``column_score`` is the fraction of true columns
+      (with ≥ 1 residue) whose exact residue set appears as a predicted
+      column.
+    """
+    from .annotation import _metric_counts
+
+    if len(pred_rows) != len(true_rows):
+        raise ValueError(
+            f"{len(pred_rows)} predicted rows vs {len(true_rows)} true rows"
+        )
+
+    def columns(rows):
+        by_col = {}
+        for i, m in enumerate(msa_column_maps(rows)):
+            for res, col in m.items():
+                by_col.setdefault(col, []).append((i, res))
+        return by_col
+
+    def pair_set(by_col):
+        pairs = set()
+        for members in by_col.values():
+            for a in range(len(members)):
+                for b in range(a + 1, len(members)):
+                    pairs.add((members[a], members[b]))
+        return pairs
+
+    pred_cols, true_cols = columns(pred_rows), columns(true_rows)
+    metrics = _metric_counts(pair_set(pred_cols), pair_set(true_cols))
+    pred_sets = {frozenset(v) for v in pred_cols.values()}
+    true_sets = [frozenset(v) for v in true_cols.values() if v]
+    column_score = (
+        sum(1 for c in true_sets if c in pred_sets) / len(true_sets)
+        if true_sets
+        else 0.0
+    )
+    return {"pairs": metrics, "column_score": column_score}
 
 
 def write_msa(path, names, rows, width: int = 80):

@@ -1,0 +1,350 @@
+"""Scientific quality proof of both end deliverables (VERDICT r3 item 1).
+
+The reference transcribes the HMM cores of learnMSA (multiple sequence
+alignment) and Tiberius (gene annotation) but validates neither
+deliverable. These tests plant a known truth and score the full pipelines
+against it:
+
+* MSA: sequences are *generatively sampled* from a planted profile HMM
+  (:func:`models.simulate.sample_hmm_sequences`); the true alignment is the
+  rendering of the true sampled paths. Fresh models are trained with
+  ``Trainer.fit_select``, every sequence is Viterbi-aligned, and
+  :func:`models.msa.evaluate_msa` scores aligned-residue pairs (SP/modeler)
+  and exact columns against the planted truth.
+* Gene prediction: a synthetic multi-gene contig WITH introns on BOTH
+  strands and noisy class probabilities
+  (:func:`models.simulate.simulate_genome`); the HMM is trained with the
+  posterior-CE objective on one genome and evaluated on a held-out genome
+  with Burset-Guigó nucleotide/exon/gene F1
+  (:func:`models.annotation.evaluate_annotation`).
+
+Measured baselines (CPU, these seeds): MSA pairs F1 0.98 / column score
+0.875; gene-pred held-out F1 1.0/1.0/1.0 trained, ~0.95/0.8/0.67
+untrained. Thresholds below leave margin for cross-platform fp drift.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from hmm_layer_tpu import data
+from hmm_layer_tpu.layer import HMMLayer
+from hmm_layer_tpu.models import (
+    GenePredEmissions,
+    GenePredTransitions,
+    ProfileEmissions,
+    ProfileTransitions,
+    evaluate_annotation,
+    evaluate_msa,
+    paths_to_genes,
+    paths_to_msa,
+    sample_hmm_sequences,
+    simulate_genome,
+)
+from hmm_layer_tpu.models import initializers as inits
+from hmm_layer_tpu.models.annotation import flip_genes, genes_to_states
+from hmm_layer_tpu.models.initializers import make_15_class_emission_kernel
+from hmm_layer_tpu.training import Trainer
+
+
+# ---------------------------------------------------------------------------
+# Shared pipeline pieces (also used by benchmarks/quality_bench.py on TPU)
+# ---------------------------------------------------------------------------
+
+
+def make_planted_profile(rng, Lm=8, S=25, motif_logit=6.0):
+    """A well-behaved generative profile HMM: strong match advance, light
+    flanks, one dominant residue per match column."""
+    motif = rng.integers(0, 20, Lm)
+    logits = np.zeros((Lm, S), np.float32)
+    logits[np.arange(Lm), motif] = motif_logit
+
+    const = lambda arr: (
+        lambda key, shape: jnp.broadcast_to(
+            jnp.asarray(arr, jnp.float32), shape
+        )
+    )
+    b2m = np.full(Lm, -4.0)
+    b2m[0] = 4.0
+    tinit = dict(inits.make_default_transition_init())
+    tinit.update({
+        "begin_to_match": const(b2m),
+        "match_to_match": const(3.0),
+        "match_to_insert": const(-3.0),
+        "match_to_delete": const(-5.0),
+        "match_to_end": const(-5.0),
+        "insert_to_match": const(3.0),
+        "insert_to_insert": const(-2.0),
+        "delete_to_match": const(3.0),
+        "delete_to_delete": const(-2.0),
+        "left_flank_loop": const(-1.0),
+        "left_flank_exit": const(2.0),
+        "right_flank_loop": const(-1.0),
+        "right_flank_exit": const(2.0),
+        "end_to_terminal": const(4.0),
+        "end_to_right_flank": const(0.0),
+        "end_to_unannotated_segment": const(-4.0),
+        "unannotated_segment_loop": const(-1.0),
+        "unannotated_segment_exit": const(2.0),
+    })
+    trans = ProfileTransitions(
+        [Lm],
+        transition_init=tinit,
+        flank_init=lambda key, shape: jnp.zeros(shape),
+    )
+    emit = ProfileEmissions(
+        [Lm], emission_init=[lambda key, shape: jnp.asarray(logits)]
+    )
+    return trans, emit
+
+
+def sample_planted_msa(rng, trans, emit, num_seqs=32, max_len=60, S=25):
+    """Sample sequences + the TRUE alignment from a planted profile HMM.
+
+    Returns (x_full (b, Lmax, S+1), residues (b, Lmax), lens, true_rows).
+    """
+    Lm = trans.lengths[0]
+    q = 2 * Lm + 3
+    tp = trans.init_params(jax.random.PRNGKey(1))
+    ep = emit.init_params(jax.random.PRNGKey(2), input_dim=S + 1)
+    init, A = trans.matrices(tp)
+    B = emit.make_B(ep)
+    seqs = sample_hmm_sequences(
+        np.asarray(init)[0], np.asarray(A)[0], np.asarray(B)[0],
+        rng, num_seqs=num_seqs, max_len=max_len, terminal_state=q - 1,
+    )
+    lens = np.array([len(p) for p, _ in seqs])
+    Lmax = lens.max() + 1
+    b = len(seqs)
+    paths_true = np.full((b, Lmax), q - 1, np.int64)
+    res = np.full((b, Lmax), S, np.int64)
+    x_full = np.zeros((b, Lmax, S + 1), np.float32)
+    x_full[:, :, S] = 1.0
+    for i, (p, s) in enumerate(seqs):
+        paths_true[i, : len(p)] = p
+        res[i, : len(s)] = s
+        x_full[i, : len(s)] = 0.0
+        x_full[i, np.arange(len(s)), s] = 1.0
+    true_rows = paths_to_msa(
+        paths_true, res, model_length=Lm, seq_lengths=lens
+    )
+    return x_full, res, lens, true_rows
+
+
+def gene_pred_layer(parallel_factor=1):
+    return HMMLayer(
+        GenePredTransitions(),
+        GenePredEmissions(
+            start_codons=[("ATG", 1.0)],
+            stop_codons=[("TAG", 0.34), ("TAA", 0.33), ("TGA", 0.33)],
+            intron_begin_pattern=[
+                ("NGT", 0.99), ("NGC", 0.005), ("NAT", 0.005)
+            ],
+            intron_end_pattern=[("AGN", 0.99), ("ACN", 0.01)],
+            init=make_15_class_emission_kernel(),
+        ),
+        parallel_factor=parallel_factor,
+    )
+
+
+def genome_inputs(sim):
+    """(x_fwd, x_rc) (L, 20) decoder inputs of both strand readings."""
+    oh = sim.onehot()
+    x_fwd = np.concatenate([sim.class_probs, oh], -1)
+    x_rc = np.concatenate([sim.class_probs_rc, data.revcomp_onehot(oh)], -1)
+    return x_fwd, x_rc
+
+
+def genome_labels(sim):
+    """(track_fwd, track_rc) supervised 15-state label tracks."""
+    L = sim.length
+    plus = [g for g in sim.genes if g.strand == "+"]
+    minus_fwd = []
+    for g in sim.genes:
+        if g.strand == "-":
+            (g_rc,) = flip_genes([g], L)
+            g_rc.strand = "+"
+            minus_fwd.append(g_rc)
+    return (
+        genes_to_states(plus, L, num_states=15),
+        genes_to_states(minus_fwd, L, num_states=15),
+    )
+
+
+def decode_genome(layer, params, sim):
+    """Both-strand Viterbi decode -> merged forward-coordinate genes."""
+    x_fwd, x_rc = genome_inputs(sim)
+    tf = np.asarray(layer.viterbi(params, jnp.asarray(x_fwd[None, None])))[0, 0]
+    tr = np.asarray(layer.viterbi(params, jnp.asarray(x_rc[None, None])))[0, 0]
+    genes = paths_to_genes(tf, num_states=15)
+    genes += flip_genes(paths_to_genes(tr, num_states=15), sim.length)
+    genes.sort(key=lambda g: g.start)
+    return genes
+
+
+# ---------------------------------------------------------------------------
+# Simulator consistency
+# ---------------------------------------------------------------------------
+
+
+class TestSimulateGenome:
+    def test_structure_and_motifs(self):
+        rng = np.random.default_rng(0)
+        sim = simulate_genome(rng, num_genes=4, noise=0.3)
+        strands = {g.strand for g in sim.genes}
+        assert strands == {"+", "-"}
+        assert any(g.introns for g in sim.genes), "no introns planted"
+        for g in sim.genes:
+            seq = sim.seq
+            if g.strand == "+":
+                start = seq[g.cds[0][0] : g.cds[0][0] + 3]
+                coding = "".join(seq[s:e] for s, e, _ in g.cds)
+                for i0, i1 in g.introns:
+                    assert seq[i0 : i0 + 2] == "GT" and seq[i1 - 2 : i1] == "AG"
+            else:
+                from hmm_layer_tpu.models.simulate import _revcomp
+
+                start = _revcomp(seq[g.cds[-1][1] - 3 : g.cds[-1][1]])
+                coding = _revcomp(
+                    "".join(seq[s:e] for s, e, _ in g.cds)
+                )
+                for i0, i1 in g.introns:
+                    assert (
+                        _revcomp(seq[i1 - 2 : i1]) == "GT"
+                        and _revcomp(seq[i0 : i0 + 2]) == "AG"
+                    )
+            assert start == "ATG", (g.strand, start)
+            assert len(coding) % 3 == 0
+            assert coding[-3:] in ("TAA", "TAG", "TGA")
+
+    def test_labels_render(self):
+        """The planted genes pass genes_to_states' grammar validation."""
+        rng = np.random.default_rng(1)
+        sim = simulate_genome(rng, num_genes=5, noise=0.2)
+        t_fwd, t_rc = genome_labels(sim)
+        assert t_fwd.shape == (sim.length,) and t_rc.shape == (sim.length,)
+        assert t_fwd.max() > 0 and t_rc.max() > 0
+
+
+# ---------------------------------------------------------------------------
+# Gene prediction quality (Tiberius deliverable)
+# ---------------------------------------------------------------------------
+
+
+class TestGenePredQuality:
+    NOISE = 0.3
+
+    def test_untrained_decode_quality(self):
+        """The default (identity-kernel) decoder already cleans noisy class
+        probabilities into mostly-correct gene structures."""
+        sim = simulate_genome(
+            np.random.default_rng(9), num_genes=6, noise=self.NOISE
+        )
+        layer = gene_pred_layer()
+        params = layer.init_params(jax.random.PRNGKey(0), input_dim=15)
+        genes = decode_genome(layer, params, sim)
+        mets = evaluate_annotation({"c": genes}, {"c": sim.genes})
+        assert mets["nucleotide"]["f1"] >= 0.9, mets["nucleotide"]
+        assert mets["exon"]["f1"] >= 0.6, mets["exon"]
+        assert mets["gene"]["f1"] >= 0.4, mets["gene"]
+
+    def test_trained_recovers_heldout_genome(self):
+        """Posterior-CE training on one synthetic genome -> exact recovery
+        of a held-out genome (measured 1.0/1.0/1.0 at these seeds)."""
+        sim_tr = simulate_genome(
+            np.random.default_rng(42), num_genes=8, noise=self.NOISE
+        )
+        sim_te = simulate_genome(
+            np.random.default_rng(7), num_genes=6, noise=self.NOISE
+        )
+        layer = gene_pred_layer()
+        x_f, x_r = genome_inputs(sim_tr)
+        t_f, t_r = genome_labels(sim_tr)
+        batch = {
+            "x": jnp.asarray(np.stack([x_f, x_r])[None]),
+            "labels": jnp.asarray(np.stack([t_f, t_r])[None]),
+        }
+        trainer = Trainer(
+            layer,
+            optimizer=optax.adam(0.02),
+            loss_fn=lambda p, b, i: layer.posterior_cross_entropy(
+                p, b["x"], b["labels"]
+            ),
+        )
+        params, opt_state = trainer.init(jax.random.PRNGKey(0), input_dim=15)
+        params, _, loss = trainer.fit(
+            params, opt_state, batches=(batch for _ in range(40))
+        )
+        assert float(loss) < 0.1, float(loss)
+
+        genes = decode_genome(layer, params, sim_te)
+        mets = evaluate_annotation({"c": genes}, {"c": sim_te.genes})
+        assert mets["gene"]["f1"] >= 0.9, mets["gene"]
+        assert mets["exon"]["f1"] >= 0.9, mets["exon"]
+        assert mets["nucleotide"]["f1"] >= 0.95, mets["nucleotide"]
+
+
+# ---------------------------------------------------------------------------
+# MSA quality (learnMSA deliverable)
+# ---------------------------------------------------------------------------
+
+
+class TestMsaQuality:
+    def test_evaluate_msa_identity(self):
+        rows = ["aAB-", ".ABC", "--BC"]
+        mets = evaluate_msa(rows, rows)
+        assert mets["pairs"]["f1"] == 1.0
+        assert mets["column_score"] == 1.0
+
+    def test_evaluate_msa_detects_shift(self):
+        true_rows = ["AB", "AB"]
+        pred_rows = ["AB-", "-AB"]  # misaligned by one column
+        mets = evaluate_msa(pred_rows, true_rows)
+        assert mets["pairs"]["f1"] == 0.0
+        assert mets["column_score"] == 0.0
+
+    def test_trained_profile_recovers_planted_alignment(self):
+        """Sample from a planted profile, train fresh models with
+        fit_select, align, score vs the planted truth (measured pairs F1
+        0.98 / column score 0.875 at these seeds)."""
+        rng = np.random.default_rng(0)
+        Lm, S = 8, 25
+        trans, emit = make_planted_profile(rng, Lm=Lm, S=S)
+        x_full, res, lens, true_rows = sample_planted_msa(rng, trans, emit)
+        b = x_full.shape[0]
+
+        m = 2
+        cand = [Lm - 1, Lm]
+        layer = HMMLayer(
+            ProfileTransitions(cand),
+            ProfileEmissions(cand),
+            use_prior=True,
+            num_seqs=b,
+        )
+        trainer = Trainer(layer, optimizer=optax.adam(0.1))
+        params, opt_state = trainer.init(
+            jax.random.PRNGKey(3), input_dim=S + 1
+        )
+        xb = jnp.asarray(np.broadcast_to(x_full[None], (m,) + x_full.shape))
+        result = trainer.fit_select(
+            params,
+            opt_state,
+            batches=(xb for _ in range(150)),
+            score_batches=(xb for _ in range(1)),
+            keep=1,
+        )
+        best = int(result.ranking[0])
+        paths = np.asarray(
+            result.layer.viterbi(
+                result.selected_params, jnp.asarray(x_full[None])
+            )
+        )[0]
+        pred_rows = paths_to_msa(
+            paths, res, model_length=cand[best], seq_lengths=lens
+        )
+        mets = evaluate_msa(pred_rows, true_rows)
+        assert mets["pairs"]["f1"] >= 0.9, mets["pairs"]
+        assert mets["column_score"] >= 0.6, mets
