@@ -1,0 +1,132 @@
+"""Config-5 sparse training step: q=505 multi-copy gene-pred at L=10k.
+
+VERDICT round-3 item 4: the sparse engine exists FOR BASELINE config 5
+(1+14k-state models past the dense wall — on the axon toolchain the dense
+(505, 505) build crashes the TPU worker), but training at that scale was
+unproven. This measures full jitted value_and_grad steps THROUGH the
+analytic edge-list adjoints:
+
+* MAP objective: -mean(sparse_log_likelihood), grads wrt the transition
+  edge logits (chained through sparse_edge_softmax) and the emissions.
+* Posterior-CE objective: label cross-entropy on sparse_posterior output,
+  same gradient surface (exercises the gamma-centered sparse adjoint).
+
+Device time via the in-jit repetition slope (axon dispatch ~33 ms fixed).
+
+Run: python benchmarks/sparse_train_bench.py [--k 36] [--L 10000] [--b 8]
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--k", type=int, default=36)  # q = 1 + 14k = 505
+    ap.add_argument("--L", type=int, default=10_000)
+    ap.add_argument("--b", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from hmm_layer_tpu.models import GenePredMultiTransitions
+    from hmm_layer_tpu.models.transition_utils import sparse_edge_softmax
+    from hmm_layer_tpu.ops import sparse
+
+    trans = GenePredMultiTransitions(k=args.k)
+    q = trans.num_states
+    params = trans.init_params(jax.random.PRNGKey(0))
+    kernel = params["transition_kernel"]
+    init_dist = trans.make_initial_distribution(params)
+    indices = trans.indices
+    print(
+        f"q={q}, edges={indices.shape[0]}, L={args.L}, b={args.b}",
+        file=sys.stderr,
+        flush=True,
+    )
+
+    rng = np.random.default_rng(0)
+    E = jnp.asarray(
+        rng.uniform(0.05, 1.0, (1, args.b, args.L, q)).astype(np.float32)
+    )
+    labels = jnp.asarray(rng.integers(0, q, size=(1, args.b, args.L)))
+
+    def map_loss(kern, e):
+        probs = sparse_edge_softmax(indices, kern, q)[None]
+        return -jnp.mean(sparse.sparse_log_likelihood(init_dist, indices, probs, e))
+
+    def ce_loss(kern, e):
+        probs = sparse_edge_softmax(indices, kern, q)[None]
+        lg, _ = sparse.sparse_posterior(init_dist, indices, probs, e)
+        return -jnp.mean(
+            jnp.take_along_axis(lg, labels[..., None], axis=-1)
+        )
+
+    def slope(loss_fn, label):
+        def rep(n):
+            @jax.jit
+            def run(kern, e):
+                def body(i, acc):
+                    v, (gk, ge) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+                        kern, e * (1.0 + 1e-6 * i)
+                    )
+                    return acc + v + jnp.sum(gk) + jnp.sum(ge[:, 0, 0])
+
+                return lax.fori_loop(0, n, body, 0.0)
+
+            return run
+
+        k1, k2 = 1, 3
+        r1, r2 = rep(k1), rep(k2)
+        t0 = time.perf_counter()
+        v1 = np.asarray(r1(kernel, E))
+        print(
+            f"{label}: compile {time.perf_counter() - t0:.0f}s, "
+            f"value finite: {np.isfinite(v1)}",
+            file=sys.stderr,
+            flush=True,
+        )
+        np.asarray(r2(kernel, E))
+        slopes = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(r1(kernel, E))
+            t1 = time.perf_counter()
+            np.asarray(r2(kernel, E))
+            t2 = time.perf_counter()
+            slopes.append(((t2 - t1) - (t1 - t0)) / (k2 - k1))
+        med = float(np.median(slopes))
+        print(
+            f"{label}: {med * 1e3:.1f} ms/step "
+            f"[{min(slopes) * 1e3:.1f}, {max(slopes) * 1e3:.1f}] "
+            f"-> {args.b / med:.1f} seqs/sec",
+            flush=True,
+        )
+        return med
+
+    # Gradient sanity before timing: finite, nonzero.
+    v, (gk, ge) = jax.jit(
+        jax.value_and_grad(map_loss, argnums=(0, 1))
+    )(kernel, E)
+    gk, ge0 = np.asarray(gk), np.asarray(ge[0, 0, :2])
+    assert np.isfinite(float(v)) and np.all(np.isfinite(gk)) and np.any(gk != 0)
+    print(
+        f"MAP loss {float(v):.2f}; grad(kernel) norm "
+        f"{np.linalg.norm(gk):.3e}; grads finite",
+        file=sys.stderr,
+        flush=True,
+    )
+
+    slope(map_loss, "MAP train step (sparse analytic VJP)")
+    slope(ce_loss, "posterior-CE train step (sparse analytic VJP)")
+
+
+if __name__ == "__main__":
+    main()
