@@ -7,16 +7,21 @@ hand-wave, and the default can be decided on evidence.
 
 Per (workload, L, mode) it records:
 * profile MAP step (config 4 shape, m=5 q<=155): loss value, per-sequence
-  logliks, gradient pytree norm, and the jitted value_and_grad step time
-  (in-jit repetition slope);
+  logliks, gradient pytree norm (ONE merged jit per L);
 * gene-pred posterior-CE step (15 states): CE loss value, posterior
-  log-probs, and step time.
+  log-probs, gradient norm (ONE merged jit per L);
+* step time at L=400 only (config-4 re-baseline) via an in-jit
+  repetition slope with a RUNTIME rep count (one compile serves both
+  rep counts — cold compiles cost 1-5 min on this 1-core host).
 
-`HMM_DP_PRECISION` is read at import, so the driver mode re-execs this
-script once per mode and diffs the dumps.
+Batch shrinks as L grows (b*L constant) so the L=6400 points neither
+blow HBM nor change the per-sequence error statistic being measured.
+
+`HMM_DP_PRECISION` is read at import (ops/recursion.py:74), so the
+driver mode re-execs this script once per mode and diffs the dumps.
 
 Run: python benchmarks/precision_sweep.py            # driver (both modes)
-     python benchmarks/precision_sweep.py --mode high --out f.npz  # one mode
+     python benchmarks/precision_sweep.py --mode-run --out f.npz  # one mode
 """
 
 import argparse
@@ -31,17 +36,28 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-LS = (400, 1600, 6400)
-PROFILE_LENGTHS = [60, 64, 68, 72, 76]
-PROFILE_B = 64
-CE_B = 8
+if os.environ.get("HMM_SWEEP_SMOKE"):
+    LS = (32, 64)
+    PROFILE_LENGTHS = [5, 6]
+    PROFILE_B = {32: 2, 64: 2}
+    CE_B = {32: 2, 64: 2}
+    TIMED_L = 32
+else:
+    LS = (400, 1600, 6400)
+    PROFILE_LENGTHS = [60, 64, 68, 72, 76]
+    PROFILE_B = {400: 64, 1600: 16, 6400: 4}
+    CE_B = {400: 8, 1600: 8, 6400: 8}
+    TIMED_L = 400
 
 
 def run_mode(out_path):
     import jax
+
+    if os.environ.get("HMM_SWEEP_SMOKE"):
+        # JAX_PLATFORMS env alone does not override the axon autoregistration
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from jax import lax
-    import optax  # noqa: F401
 
     from hmm_layer_tpu.layer import HMMLayer
     from hmm_layer_tpu.models import (
@@ -52,28 +68,30 @@ def run_mode(out_path):
     )
     from hmm_layer_tpu.models.initializers import make_15_class_emission_kernel
 
-    def slope_time(fn, args, k1=1, k2=3, rounds=3):
-        """In-jit repetition slope of ``fn(k, *args)`` summed over k."""
+    mode = os.environ.get("HMM_DP_PRECISION", "highest")
 
-        def rep(n):
-            @jax.jit
-            def run(*a):
-                def body(k, acc):
-                    return acc + fn(k, *a)
+    def slope_time(step_scalar, args, k1=1, k2=3, rounds=3):
+        """In-jit repetition slope of ``step_scalar(k, *args)``.
 
-                return lax.fori_loop(0, n, body, 0.0)
+        The rep count is a RUNTIME argument of one jitted fori_loop, so
+        both rep counts share a single compile.
+        """
 
-            return run
+        @jax.jit
+        def run(n, *a):
+            def body(k, acc):
+                return acc + step_scalar(k, *a)
 
-        r1, r2 = rep(k1), rep(k2)
-        np.asarray(r1(*args))
-        np.asarray(r2(*args))
+            return lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        np.asarray(run(k1, *args))
+        np.asarray(run(k2, *args))
         slopes = []
         for _ in range(rounds):
             t0 = time.perf_counter()
-            np.asarray(r1(*args))
+            np.asarray(run(k1, *args))
             t1 = time.perf_counter()
-            np.asarray(r2(*args))
+            np.asarray(run(k2, *args))
             t2 = time.perf_counter()
             slopes.append(((t2 - t1) - (t1 - t0)) / (k2 - k1))
         return float(np.median(slopes))
@@ -81,6 +99,7 @@ def run_mode(out_path):
     out = {}
     for L in LS:
         # ---- profile MAP step (config-4 shape at this L) -----------------
+        b = PROFILE_B[L]
         layer = HMMLayer(
             ProfileTransitions(PROFILE_LENGTHS),
             ProfileEmissions(PROFILE_LENGTHS),
@@ -90,37 +109,51 @@ def run_mode(out_path):
         params = layer.init_params(jax.random.PRNGKey(0), input_dim=26)
         rng = np.random.default_rng(0)
         x = jax.nn.one_hot(
-            jnp.asarray(rng.integers(0, 25, size=(1, PROFILE_B, L))),
+            jnp.asarray(rng.integers(0, 25, size=(1, b, L))),
             26,
             dtype=jnp.float32,
         )
-        x = jnp.broadcast_to(x, (len(PROFILE_LENGTHS), PROFILE_B, L, 26))
+        x = jnp.broadcast_to(x, (len(PROFILE_LENGTHS), b, L, 26))
 
-        ll = np.asarray(jax.jit(layer.log_likelihood)(params, x))
-        loss, grads = jax.jit(jax.value_and_grad(layer.loss))(params, x)
-        gnorm = float(
-            jnp.sqrt(
+        @jax.jit
+        def profile_stats(p, xx):
+            def f(pp):
+                return layer.loss(pp, xx), layer.log_likelihood(pp, xx)
+
+            (loss, ll), grads = jax.value_and_grad(f, has_aux=True)(p)
+            gnorm = jnp.sqrt(
                 sum(jnp.sum(g**2) for g in jax.tree.leaves(grads))
             )
-        )
-        step_ms = slope_time(
-            lambda k, p, xx: jax.value_and_grad(
-                lambda pp: layer.loss(pp, xx * (1.0 + 1e-6 * k))
-            )(p)[0],
-            (params, x),
-        ) * 1e3
-        out[f"profile_ll_{L}"] = ll
-        out[f"profile_loss_{L}"] = np.asarray(loss)
-        out[f"profile_gnorm_{L}"] = np.asarray(gnorm)
-        out[f"profile_ms_{L}"] = np.asarray(step_ms)
+            return ll, loss, gnorm
+
+        t0 = time.perf_counter()
+        ll, loss, gnorm = jax.tree.map(np.asarray, profile_stats(params, x))
         print(
-            f"[{os.environ.get('HMM_DP_PRECISION', 'highest')}] profile "
-            f"L={L}: loss {float(loss):.4f}, step {step_ms:.2f} ms",
+            f"[{mode}] profile L={L} b={b}: loss {float(loss):.4f} "
+            f"(compile+run {time.perf_counter() - t0:.0f}s)",
             file=sys.stderr,
             flush=True,
         )
+        out[f"profile_ll_{L}"] = ll
+        out[f"profile_loss_{L}"] = loss
+        out[f"profile_gnorm_{L}"] = gnorm
+
+        if L == TIMED_L:
+            step_ms = slope_time(
+                lambda k, p, xx: jax.value_and_grad(
+                    lambda pp: layer.loss(pp, xx * (1.0 + 1e-6 * k))
+                )(p)[0],
+                (params, x),
+            ) * 1e3
+            out[f"profile_ms_{L}"] = np.asarray(step_ms)
+            print(
+                f"[{mode}] profile L={L}: step {step_ms:.2f} ms",
+                file=sys.stderr,
+                flush=True,
+            )
 
         # ---- gene-pred posterior-CE step --------------------------------
+        cb = CE_B[L]
         glayer = HMMLayer(
             GenePredTransitions(),
             GenePredEmissions(
@@ -135,38 +168,54 @@ def run_mode(out_path):
             parallel_factor="auto",
         )
         gparams = glayer.init_params(jax.random.PRNGKey(1), input_dim=15)
-        cls = rng.dirichlet(np.ones(15), size=(1, CE_B, L)).astype(np.float32)
+        cls = rng.dirichlet(np.ones(15), size=(1, cb, L)).astype(np.float32)
         nucs = np.eye(5, dtype=np.float32)[
-            rng.integers(0, 4, size=(1, CE_B, L))
+            rng.integers(0, 4, size=(1, cb, L))
         ]
         gx = jnp.asarray(np.concatenate([cls, nucs], axis=-1))
-        glabels = jnp.asarray(rng.integers(0, 15, size=(1, CE_B, L)))
+        glabels = jnp.asarray(rng.integers(0, 15, size=(1, cb, L)))
 
-        lg = np.asarray(
-            jax.jit(glayer.state_posterior_log_probs)(gparams, gx)
-        )
-        ce = np.asarray(
-            jax.jit(
-                lambda p: glayer.posterior_cross_entropy(p, gx, glabels)
-            )(gparams)
-        )
-        ce_ms = slope_time(
-            lambda k, p: jax.value_and_grad(
-                lambda pp: glayer.posterior_cross_entropy(
-                    pp, gx * (1.0 + 1e-6 * k), glabels
-                )
-            )(p)[0],
-            (gparams,),
-        ) * 1e3
-        out[f"ce_lg_{L}"] = lg
-        out[f"ce_loss_{L}"] = ce
-        out[f"ce_ms_{L}"] = np.asarray(ce_ms)
+        @jax.jit
+        def ce_stats(p):
+            def f(pp):
+                ce = glayer.posterior_cross_entropy(pp, gx, glabels)
+                lg = glayer.state_posterior_log_probs(pp, gx)
+                return ce, lg
+
+            (ce, lg), grads = jax.value_and_grad(f, has_aux=True)(p)
+            gnorm = jnp.sqrt(
+                sum(jnp.sum(g**2) for g in jax.tree.leaves(grads))
+            )
+            return lg, ce, gnorm
+
+        t0 = time.perf_counter()
+        lg, ce, ggnorm = jax.tree.map(np.asarray, ce_stats(gparams))
         print(
-            f"[{os.environ.get('HMM_DP_PRECISION', 'highest')}] gene-pred "
-            f"CE L={L}: loss {float(ce):.5f}, step {ce_ms:.2f} ms",
+            f"[{mode}] gene-pred CE L={L} b={cb}: loss {float(ce):.5f} "
+            f"(compile+run {time.perf_counter() - t0:.0f}s)",
             file=sys.stderr,
             flush=True,
         )
+        out[f"ce_lg_{L}"] = lg
+        out[f"ce_loss_{L}"] = ce
+        out[f"ce_gnorm_{L}"] = ggnorm
+
+        if L == TIMED_L:
+            ce_ms = slope_time(
+                lambda k, p: jax.value_and_grad(
+                    lambda pp: glayer.posterior_cross_entropy(
+                        pp, gx * (1.0 + 1e-6 * k), glabels
+                    )
+                )(p)[0],
+                (gparams,),
+            ) * 1e3
+            out[f"ce_ms_{L}"] = np.asarray(ce_ms)
+            print(
+                f"[{mode}] gene-pred CE L={L}: step {ce_ms:.2f} ms",
+                file=sys.stderr,
+                flush=True,
+            )
+        np.savez(out_path, **out)  # checkpoint after every L
     np.savez(out_path, **out)
 
 
@@ -187,7 +236,7 @@ def drive():
     for L in LS:
         ll_err = np.abs(hi[f"profile_ll_{L}"] - lo[f"profile_ll_{L}"])
         lg_err = np.abs(hi[f"ce_lg_{L}"] - lo[f"ce_lg_{L}"])
-        report[L] = {
+        entry = {
             "profile_ll_err_max": float(ll_err.max()),
             "profile_ll_err_mean": float(ll_err.mean()),
             "profile_ll_scale": float(np.abs(hi[f"profile_ll_{L}"]).mean()),
@@ -198,17 +247,24 @@ def drive():
                 np.abs(hi[f"profile_gnorm_{L}"] - lo[f"profile_gnorm_{L}"])
                 / hi[f"profile_gnorm_{L}"]
             ),
-            "profile_ms_highest": float(hi[f"profile_ms_{L}"]),
-            "profile_ms_high": float(lo[f"profile_ms_{L}"]),
             "ce_loss_err": float(
                 np.abs(hi[f"ce_loss_{L}"] - lo[f"ce_loss_{L}"])
             ),
             "ce_lg_err_max": float(lg_err.max()),
             "ce_lg_err_mean": float(lg_err.mean()),
-            "ce_ms_highest": float(hi[f"ce_ms_{L}"]),
-            "ce_ms_high": float(lo[f"ce_ms_{L}"]),
+            "ce_gnorm_rel_err": float(
+                np.abs(hi[f"ce_gnorm_{L}"] - lo[f"ce_gnorm_{L}"])
+                / hi[f"ce_gnorm_{L}"]
+            ),
         }
+        for key in ("profile_ms", "ce_ms"):
+            if f"{key}_{L}" in hi:
+                entry[f"{key}_highest"] = float(hi[f"{key}_{L}"])
+                entry[f"{key}_high"] = float(lo[f"{key}_{L}"])
+        report[L] = entry
     print(json.dumps(report, indent=2))
+    with open("/tmp/prec_sweep_report.json", "w") as f:
+        json.dump(report, f, indent=2)
 
 
 if __name__ == "__main__":
