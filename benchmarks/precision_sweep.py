@@ -69,6 +69,11 @@ def run_mode(out_path):
     from hmm_layer_tpu.models.initializers import make_15_class_emission_kernel
 
     mode = os.environ.get("HMM_DP_PRECISION", "highest")
+    # Timing-only re-run: skip the (expensive) merged error jits and the
+    # non-timed Ls; used to re-measure step times after the grad-DCE fix
+    # without redoing the error dumps.
+    timing_only = bool(os.environ.get("HMM_SWEEP_TIMING_ONLY"))
+    ls = (TIMED_L,) if timing_only else LS
 
     def slope_time(step_scalar, args, k1=1, k2=3, rounds=3):
         """In-jit repetition slope of ``step_scalar(k, *args)``.
@@ -97,7 +102,7 @@ def run_mode(out_path):
         return float(np.median(slopes))
 
     out = {}
-    for L in LS:
+    for L in ls:
         # ---- profile MAP step (config-4 shape at this L) -----------------
         b = PROFILE_B[L]
         layer = HMMLayer(
@@ -115,36 +120,45 @@ def run_mode(out_path):
         )
         x = jnp.broadcast_to(x, (len(PROFILE_LENGTHS), b, L, 26))
 
-        @jax.jit
-        def profile_stats(p, xx):
-            def f(pp):
-                return layer.loss(pp, xx), layer.log_likelihood(pp, xx)
+        if not timing_only:
+            @jax.jit
+            def profile_stats(p, xx):
+                def f(pp):
+                    return layer.loss(pp, xx), layer.log_likelihood(pp, xx)
 
-            (loss, ll), grads = jax.value_and_grad(f, has_aux=True)(p)
-            gnorm = jnp.sqrt(
-                sum(jnp.sum(g**2) for g in jax.tree.leaves(grads))
+                (loss, ll), grads = jax.value_and_grad(f, has_aux=True)(p)
+                gnorm = jnp.sqrt(
+                    sum(jnp.sum(g**2) for g in jax.tree.leaves(grads))
+                )
+                return ll, loss, gnorm
+
+            t0 = time.perf_counter()
+            ll, loss, gnorm = jax.tree.map(
+                np.asarray, profile_stats(params, x)
             )
-            return ll, loss, gnorm
-
-        t0 = time.perf_counter()
-        ll, loss, gnorm = jax.tree.map(np.asarray, profile_stats(params, x))
-        print(
-            f"[{mode}] profile L={L} b={b}: loss {float(loss):.4f} "
-            f"(compile+run {time.perf_counter() - t0:.0f}s)",
-            file=sys.stderr,
-            flush=True,
-        )
-        out[f"profile_ll_{L}"] = ll
-        out[f"profile_loss_{L}"] = loss
-        out[f"profile_gnorm_{L}"] = gnorm
+            print(
+                f"[{mode}] profile L={L} b={b}: loss {float(loss):.4f} "
+                f"(compile+run {time.perf_counter() - t0:.0f}s)",
+                file=sys.stderr,
+                flush=True,
+            )
+            out[f"profile_ll_{L}"] = ll
+            out[f"profile_loss_{L}"] = loss
+            out[f"profile_gnorm_{L}"] = gnorm
 
         if L == TIMED_L:
-            step_ms = slope_time(
-                lambda k, p, xx: jax.value_and_grad(
+            # Accumulate the grad leaves too — discarding them lets XLA
+            # dead-code-eliminate the whole backward pass (measured: the
+            # "step" collapses to the 1.4 ms forward).
+            def profile_step(k, p, xx):
+                v, g = jax.value_and_grad(
                     lambda pp: layer.loss(pp, xx * (1.0 + 1e-6 * k))
-                )(p)[0],
-                (params, x),
-            ) * 1e3
+                )(p)
+                return v + jax.tree.reduce(
+                    lambda a, b_: a + jnp.sum(b_), g, jnp.float32(0.0)
+                )
+
+            step_ms = slope_time(profile_step, (params, x)) * 1e3
             out[f"profile_ms_{L}"] = np.asarray(step_ms)
             print(
                 f"[{mode}] profile L={L}: step {step_ms:.2f} ms",
@@ -175,40 +189,44 @@ def run_mode(out_path):
         gx = jnp.asarray(np.concatenate([cls, nucs], axis=-1))
         glabels = jnp.asarray(rng.integers(0, 15, size=(1, cb, L)))
 
-        @jax.jit
-        def ce_stats(p):
-            def f(pp):
-                ce = glayer.posterior_cross_entropy(pp, gx, glabels)
-                lg = glayer.state_posterior_log_probs(pp, gx)
-                return ce, lg
+        if not timing_only:
+            @jax.jit
+            def ce_stats(p):
+                def f(pp):
+                    ce = glayer.posterior_cross_entropy(pp, gx, glabels)
+                    lg = glayer.state_posterior_log_probs(pp, gx)
+                    return ce, lg
 
-            (ce, lg), grads = jax.value_and_grad(f, has_aux=True)(p)
-            gnorm = jnp.sqrt(
-                sum(jnp.sum(g**2) for g in jax.tree.leaves(grads))
+                (ce, lg), grads = jax.value_and_grad(f, has_aux=True)(p)
+                gnorm = jnp.sqrt(
+                    sum(jnp.sum(g**2) for g in jax.tree.leaves(grads))
+                )
+                return lg, ce, gnorm
+
+            t0 = time.perf_counter()
+            lg, ce, ggnorm = jax.tree.map(np.asarray, ce_stats(gparams))
+            print(
+                f"[{mode}] gene-pred CE L={L} b={cb}: loss {float(ce):.5f} "
+                f"(compile+run {time.perf_counter() - t0:.0f}s)",
+                file=sys.stderr,
+                flush=True,
             )
-            return lg, ce, gnorm
-
-        t0 = time.perf_counter()
-        lg, ce, ggnorm = jax.tree.map(np.asarray, ce_stats(gparams))
-        print(
-            f"[{mode}] gene-pred CE L={L} b={cb}: loss {float(ce):.5f} "
-            f"(compile+run {time.perf_counter() - t0:.0f}s)",
-            file=sys.stderr,
-            flush=True,
-        )
-        out[f"ce_lg_{L}"] = lg
-        out[f"ce_loss_{L}"] = ce
-        out[f"ce_gnorm_{L}"] = ggnorm
+            out[f"ce_lg_{L}"] = lg
+            out[f"ce_loss_{L}"] = ce
+            out[f"ce_gnorm_{L}"] = ggnorm
 
         if L == TIMED_L:
-            ce_ms = slope_time(
-                lambda k, p: jax.value_and_grad(
+            def ce_step(k, p):
+                v, g = jax.value_and_grad(
                     lambda pp: glayer.posterior_cross_entropy(
                         pp, gx * (1.0 + 1e-6 * k), glabels
                     )
-                )(p)[0],
-                (gparams,),
-            ) * 1e3
+                )(p)
+                return v + jax.tree.reduce(
+                    lambda a, b_: a + jnp.sum(b_), g, jnp.float32(0.0)
+                )
+
+            ce_ms = slope_time(ce_step, (gparams,)) * 1e3
             out[f"ce_ms_{L}"] = np.asarray(ce_ms)
             print(
                 f"[{mode}] gene-pred CE L={L}: step {ce_ms:.2f} ms",
@@ -267,12 +285,39 @@ def drive():
         json.dump(report, f, indent=2)
 
 
+def drive_timing():
+    """Timing-only driver: both modes, step times at TIMED_L, no errors."""
+    report = {}
+    for mode in ("highest", "high"):
+        path = f"/tmp/prec_timing_{mode}.npz"
+        env = dict(
+            os.environ, HMM_DP_PRECISION=mode, HMM_SWEEP_TIMING_ONLY="1"
+        )
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--mode-run",
+             "--out", path],
+            env=env,
+            check=True,
+        )
+        d = np.load(path)
+        report[mode] = {
+            "profile_ms": float(d[f"profile_ms_{TIMED_L}"]),
+            "ce_ms": float(d[f"ce_ms_{TIMED_L}"]),
+        }
+    print(json.dumps(report, indent=2))
+    with open("/tmp/prec_timing_report.json", "w") as f:
+        json.dump(report, f, indent=2)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode-run", action="store_true")
+    ap.add_argument("--timing", action="store_true")
     ap.add_argument("--out", default="/tmp/prec_sweep.npz")
     args = ap.parse_args()
     if args.mode_run:
         run_mode(args.out)
+    elif args.timing:
+        drive_timing()
     else:
         drive()

@@ -40,38 +40,50 @@ def main():
     )
     x = jnp.broadcast_to(x, (len(LENGTHS), B, L, 26))
 
-    def rep(n):
-        @jax.jit
-        def run(p, xx):
-            def body(k, acc):
-                v, g = jax.value_and_grad(
-                    lambda pp: layer.loss(pp, xx * (1.0 + 1e-6 * k))
-                )(p)
-                return acc + v + jax.tree.reduce(
-                    lambda a, b: a + jnp.sum(b), g, 0.0
-                )
+    from hmm_layer_tpu.ops.recursion import set_dp_precision
 
-            return lax.fori_loop(0, n, body, 0.0)
+    def measure():
+        def rep(n):
+            @jax.jit
+            def run(p, xx):
+                def body(k, acc):
+                    v, g = jax.value_and_grad(
+                        lambda pp: layer.loss(pp, xx * (1.0 + 1e-6 * k))
+                    )(p)
+                    return acc + v + jax.tree.reduce(
+                        lambda a, b: a + jnp.sum(b), g, 0.0
+                    )
 
-        return run
+                return lax.fori_loop(0, n, body, 0.0)
 
-    K1, K2 = 2, 6
-    r1, r2 = rep(K1), rep(K2)
-    t0 = time.perf_counter()
-    np.asarray(r1(params, x))
-    print(f"compile: {time.perf_counter() - t0:.0f}s", file=sys.stderr)
-    np.asarray(r2(params, x))
-    ts = {K1: [], K2: []}
-    for _ in range(3):
-        for k, f in ((K1, r1), (K2, r2)):
-            t0 = time.perf_counter()
-            np.asarray(f(params, x))
-            ts[k].append(time.perf_counter() - t0)
-    per = (min(ts[K2]) - min(ts[K1])) / (K2 - K1)
-    print(
-        f"profile-HMM MAP train step (m={len(LENGTHS)}, q<=155, b={B}, "
-        f"L={L}): {per * 1e3:.1f} ms/step -> {B / per:.0f} seqs/sec"
-    )
+            return run
+
+        K1, K2 = 2, 6
+        r1, r2 = rep(K1), rep(K2)
+        t0 = time.perf_counter()
+        np.asarray(r1(params, x))
+        print(f"compile: {time.perf_counter() - t0:.0f}s", file=sys.stderr)
+        np.asarray(r2(params, x))
+        ts = {K1: [], K2: []}
+        for _ in range(3):
+            for k, f in ((K1, r1), (K2, r2)):
+                t0 = time.perf_counter()
+                np.asarray(f(params, x))
+                ts[k].append(time.perf_counter() - t0)
+        return (min(ts[K2]) - min(ts[K1])) / (K2 - K1)
+
+    # 'high' is the recommended (and align-CLI default) profile training
+    # mode since the round-4 precision sweep; report both.
+    per_mode = {}
+    for mode in ("high", "highest"):
+        set_dp_precision(mode)
+        per_mode[mode] = measure()
+        print(
+            f"profile-HMM MAP train step (m={len(LENGTHS)}, q<=155, b={B}, "
+            f"L={L}, {mode}): {per_mode[mode] * 1e3:.1f} ms/step -> "
+            f"{B / per_mode[mode]:.0f} seqs/sec"
+        )
+    per = per_mode["high"]
     import json
     import os
 

@@ -9,9 +9,11 @@ associative scans over device meshes instead of per-timestep Python loops.
 from .ops.recursion import (
     ForwardResult,
     backward,
+    dp_precision,
     forward,
     log_likelihood,
     posterior,
+    set_dp_precision,
     viterbi,
 )
 from .layer import HMMLayer
@@ -27,10 +29,12 @@ __all__ = [
     "HMMLayer",
     "Trainer",
     "backward",
+    "dp_precision",
     "forward",
     "log_likelihood",
     "models",
     "posterior",
+    "set_dp_precision",
     "utils",
     "viterbi",
     "__version__",

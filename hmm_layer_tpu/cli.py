@@ -50,6 +50,19 @@ def build_parser() -> argparse.ArgumentParser:
     al.add_argument("--lr", type=float, default=0.05)
     al.add_argument("--model-length", type=int, default=None,
                     help="match-state count (default: from sequence lengths)")
+    al.add_argument("--adapt-rounds", type=int, default=0,
+                    help="learnMSA-style length-adaptation rounds: after "
+                         "each round, low-occupancy match columns are "
+                         "discarded and overloaded insertion sites become "
+                         "new columns (param-preserving resize), then "
+                         "training continues")
+    al.add_argument("--precision", choices=("high", "highest"),
+                    default="high",
+                    help="DP-einsum precision. Profile training defaults "
+                         "to 'high' (bf16x3): measured 1.28x faster with "
+                         "log-likelihood error saturating at the f32-ulp "
+                         "level (BASELINE.md round-4 precision sweep); "
+                         "'highest' restores full 6-pass f32 parity")
     al.add_argument("--seed", type=int, default=0)
     al.add_argument("--cpu", action="store_true", help="force CPU backend")
 
@@ -153,6 +166,13 @@ def _align(args) -> int:
     if not records:
         print(f"error: no sequences in {args.input}", file=sys.stderr)
         return 2
+    # Workload-appropriate DP precision (measured, BASELINE.md round 4):
+    # 'high' is 1.28x on the profile MAP step at f32-ulp-level error. Set
+    # before the first trace; the gene-pred commands stay 'highest'
+    # (measured 0.76x regression there).
+    from .ops.recursion import set_dp_precision
+
+    set_dp_precision(args.precision)
     names = [name for name, _ in records]
     encoded = [data.encode_protein(seq) for _, seq in records]  # L+1 rows
     seq_lens = [e.shape[0] - 1 for e in encoded]
@@ -170,24 +190,55 @@ def _align(args) -> int:
         jax.random.PRNGKey(args.seed), input_dim=encoded[0].shape[-1]
     )
 
-    def batches(n_steps):
+    def batches(n_steps, n_models=None):
         """Cycle padded batches; broadcast over the model axis."""
+        n_models = m if n_models is None else n_models
         step = 0
         while step < n_steps:
             for batch, _ in data.pad_batches(encoded, args.batch):
                 if step >= n_steps:
                     return
-                yield np.broadcast_to(batch[None], (m,) + batch.shape)
+                yield np.broadcast_to(batch[None], (n_models,) + batch.shape)
                 step += 1
+
+    # One padded batch holding every sequence: used for adaptation
+    # posteriors and the final global decode (alignment columns are global).
+    L_max = max(e.shape[0] for e in encoded)
+    full = np.zeros((len(encoded), L_max, encoded[0].shape[-1]), np.float32)
+    full[:, :, -1] = 1.0  # terminal padding
+    for i, e in enumerate(encoded):
+        full[i, : e.shape[0]] = e
 
     print(
         f"aligning {len(records)} sequences: training {m} profile "
         f"models (lengths {lengths}) for {args.steps} steps ..."
     )
+    final_steps = args.steps
+    if args.adapt_rounds > 0:
+        from .models.profile_adapt import adapt_profile_layer
+
+        phase = max(1, args.steps // (args.adapt_rounds + 1))
+        final_steps = max(1, args.steps - args.adapt_rounds * phase)
+        for r in range(args.adapt_rounds):
+            params, opt_state, _ = trainer.fit(
+                params, opt_state, batches=batches(phase)
+            )
+            x_all = np.broadcast_to(full[None], (m,) + full.shape)
+            layer, params, info = adapt_profile_layer(
+                layer, params, x_all, jax.random.PRNGKey(args.seed + 1 + r)
+            )
+            lengths = layer.transitions.lengths
+            print(
+                f"adaptation round {r + 1}: lengths "
+                f"{[d['old_length'] for d in info]} -> {lengths}"
+            )
+            trainer = Trainer(layer, optimizer=optax.adam(args.lr))
+            opt_state = trainer.init_from_params(params)
+
     result = trainer.fit_select(
         params,
         opt_state,
-        batches=batches(args.steps),
+        batches=batches(final_steps),
         score_batches=batches(max(1, len(records) // args.batch + 1)),
         keep=1,
     )
@@ -198,13 +249,6 @@ def _align(args) -> int:
         f"-> selected model {best} (length {lengths[best]})",
     )
 
-    # Decode everything in one padded batch so insertion columns line up
-    # across all sequences (alignment columns are global).
-    L_max = max(e.shape[0] for e in encoded)
-    full = np.zeros((len(encoded), L_max, encoded[0].shape[-1]), np.float32)
-    full[:, :, -1] = 1.0  # terminal padding
-    for i, e in enumerate(encoded):
-        full[i, : e.shape[0]] = e
     x = np.broadcast_to(full[None], (1,) + full.shape)
     paths = np.asarray(result.layer.viterbi(result.selected_params, x))[0]
     residues = np.argmax(full, axis=-1)

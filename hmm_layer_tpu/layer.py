@@ -375,6 +375,38 @@ class HMMLayer:
             init, A, E, key, num_samples, self._pf(E)
         )
 
+    # -- model surgery -----------------------------------------------------------
+
+    def resize(self, params, new_lengths, key, keep=None):
+        """Param-preserving profile length adaptation at the layer level.
+
+        Resizes every component that supports it (the profile family's
+        transitions/emissions — see ``ProfileTransitions.resize``) to
+        ``new_lengths`` and returns ``(new_layer, new_params)`` with all
+        layer settings carried over. The learnMSA iterative
+        length-adaptation hook (the reference's ``set_lengths`` rebuilds
+        kernels from initializers, ``Transitioner.py:39-61``).
+        """
+        new_trans, tparams = self.transitions.resize(
+            params["transitions"], new_lengths, key, keep
+        )
+        new_emits, eparams = [], []
+        for em, p in zip(self.emissions, params["emissions"]):
+            ne, np_ = em.resize(p, new_lengths, key, keep)
+            new_emits.append(ne)
+            eparams.append(np_)
+        new_layer = HMMLayer(
+            new_trans,
+            new_emits,
+            num_seqs=self.num_seqs,
+            use_prior=self.use_prior,
+            sequence_weights=self.sequence_weights,
+            parallel_factor=self.parallel_factor,
+            mesh=self.mesh,
+            partition=self.partition or None,
+        )
+        return new_layer, {"transitions": tparams, "emissions": eparams}
+
     # -- priors / weights / losses ----------------------------------------------
 
     def compute_prior(self, params, scaled: bool = True):

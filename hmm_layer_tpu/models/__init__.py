@@ -32,6 +32,7 @@ from .profile_transitions import (
     get_num_states,
     get_num_states_implicit,
 )
+from .profile_adapt import adapt_profile_layer, match_statistics, propose_keep
 from .simulate import SimulatedGenome, sample_hmm_sequences, simulate_genome
 
 __all__ = [
@@ -50,6 +51,7 @@ __all__ = [
     "SimpleGenePredEmissions",
     "SimpleGenePredTransitions",
     "SimulatedGenome",
+    "adapt_profile_layer",
     "dirichlet_log_pdf",
     "evaluate_annotation",
     "evaluate_msa",
@@ -59,8 +61,10 @@ __all__ = [
     "get_num_states",
     "get_num_states_implicit",
     "load_mixture_model",
+    "match_statistics",
     "msa_column_maps",
     "paths_to_genes",
+    "propose_keep",
     "paths_to_msa",
     "read_gff3",
     "sample_hmm_sequences",

@@ -62,16 +62,56 @@ from . import pallas_adjoint, pallas_forward, pallas_mxu, pallas_viterbi
 # corrupts argmaxes.
 _PRECISION = lax.Precision.HIGHEST
 
-# DP-recursion / adjoint-statistic einsums use _DP_PRECISION, switchable to
+# DP-recursion / adjoint-statistic einsums use _dp_prec(), switchable to
 # the reduced-pass mode for the measured precision/speed trade
-# (HMM_DP_PRECISION=high -> 3-pass bf16x3 instead of HIGHEST's 6 passes;
-# measured log-space error at the target L gates any adoption — see
-# BASELINE.md round-3 precision experiment).
-_DP_PRECISION = {
+# (HMM_DP_PRECISION=high -> 3-pass bf16x3 instead of HIGHEST's 6 passes).
+# The round-4 sweep (BASELINE.md; benchmarks/precision_sweep.py) decided
+# the defaults per workload: `high` is 1.28x on the profile MAP step with
+# loglik error SATURATING at the f32-ulp level (0.004/0.017/0.016 nats at
+# L=400/1600/6400 on |ll| ~ 1.3e3/5.4e3/2.2e4), but 0.76x (a regression)
+# on the small-q gene-pred CE step — so the global default stays
+# `highest` and the profile-family training paths opt into `high` via
+# set_dp_precision / dp_precision (the env var seeds the initial mode).
+_DP_MODES = {
     "highest": lax.Precision.HIGHEST,
     "high": lax.Precision.HIGH,
     "default": lax.Precision.DEFAULT,
-}[os.environ.get("HMM_DP_PRECISION", "highest").lower()]
+}
+_DP_PRECISION_MODE = _DP_MODES[
+    os.environ.get("HMM_DP_PRECISION", "highest").lower()
+]
+
+
+def _dp_prec():
+    return _DP_PRECISION_MODE
+
+
+def set_dp_precision(mode: str):
+    """Set the DP-einsum precision mode ('highest' | 'high' | 'default').
+
+    Returns the previous mode name. Read at TRACE time: call before the
+    first jitted call of the functions it should affect — already-cached
+    jit traces keep the precision they were traced with.
+    """
+    global _DP_PRECISION_MODE
+    prev = _DP_PRECISION_MODE
+    _DP_PRECISION_MODE = _DP_MODES[mode.lower()]
+    return {v: k for k, v in _DP_MODES.items()}[prev]
+
+
+class dp_precision:
+    """Context manager form of :func:`set_dp_precision` (trace-time)."""
+
+    def __init__(self, mode: str):
+        self.mode = mode
+
+    def __enter__(self):
+        self._prev = set_dp_precision(self.mode)
+        return self
+
+    def __exit__(self, *exc):
+        set_dp_precision(self._prev)
+        return False
 
 # The Mosaic kernels only lower on TPU backends; dispatch on an explicit
 # allowlist (not a "anything unknown must be TPU" sniff) so a future backend
@@ -132,7 +172,7 @@ def _forward_seq(init, A, E):
 
     def step(carry, e_t):
         alpha, ll = carry
-        r = jnp.einsum("mbq,mqp->mbp", alpha, A, precision=_DP_PRECISION)
+        r = jnp.einsum("mbq,mqp->mbp", alpha, A, precision=_dp_prec())
         s = _clamped(e_t) * _clamped(r)
         z = jnp.sum(s, axis=-1, keepdims=True)
         alpha_new = s / z
@@ -162,7 +202,7 @@ def _backward_seq(A, E):
     def step(carry, e_next):
         beta, ll = carry  # scaled beta at t+1, log-scale
         r = _clamped(e_next) * beta
-        s = jnp.einsum("mbq,mpq->mbp", r, A, precision=_DP_PRECISION)  # sum_j A[p, j] r[j]
+        s = jnp.einsum("mbq,mpq->mbp", r, A, precision=_dp_prec())  # sum_j A[p, j] r[j]
         s = _clamped(s)
         z = jnp.max(s, axis=-1, keepdims=True)
         beta_new = s / z
@@ -279,7 +319,7 @@ def _summaries_from_rows(A, Et, R0):
 
     def step(carry, e_t):
         M, ll = carry  # (m, bP, r, q) row-scaled, (m, bP, r)
-        r = jnp.einsum("mbiq,mqp->mbip", M, A, precision=_DP_PRECISION)
+        r = jnp.einsum("mbiq,mqp->mbip", M, A, precision=_dp_prec())
         s = _clamped(e_t)[..., None, :] * _clamped(r)
         M_new, dll = scale_rows(s)
         return (M_new, ll + dll), None
@@ -395,7 +435,7 @@ def _forward_outputs(init, A, E, T, parallel_factor, first_start_log=None):
 
     def step(carry, e_t):
         alpha, ll = carry
-        r = jnp.einsum("mbq,mqp->mbp", alpha, A, precision=_DP_PRECISION)
+        r = jnp.einsum("mbq,mqp->mbp", alpha, A, precision=_dp_prec())
         s = _clamped(e_t) * _clamped(r)
         z = jnp.sum(s, axis=-1, keepdims=True)
         alpha_new = s / z
@@ -426,7 +466,7 @@ def _backward_outputs(A, E, S, parallel_factor):
     def step(carry, e_next):
         beta, ll = carry
         r = _clamped(e_next) * beta
-        s = jnp.einsum("mbq,mpq->mbp", r, A, precision=_DP_PRECISION)
+        s = jnp.einsum("mbq,mpq->mbp", r, A, precision=_dp_prec())
         s = _clamped(s)
         z = jnp.max(s, axis=-1, keepdims=True)
         beta_new = s / z
@@ -660,7 +700,7 @@ def _forward_fast_bwd(P, res, cts):
     gE = bar / _clamped(E) * maskE
     ginit = jnp.sum(bar[:, :, 0], axis=1) / _clamped(init) * (init >= EPS)
     F, G_of, _ = _forward_gA_factors(la, log_E)
-    gA = jnp.einsum("mbti,mbtj->mij", F, G_of(bar), precision=_DP_PRECISION)
+    gA = jnp.einsum("mbti,mbtj->mij", F, G_of(bar), precision=_dp_prec())
     return ginit, gA, gE
 
 
@@ -699,7 +739,7 @@ def _backward_fast_bwd(P, res, ct):
 
     gE = cbhat / _clamped(E) * maskE
     Fp_of, Gp = _backward_gA_factors(lb, sp, elb)
-    gA = jnp.einsum("mbti,mbtj->mij", Fp_of(cb), Gp, precision=_DP_PRECISION)
+    gA = jnp.einsum("mbti,mbtj->mij", Fp_of(cb), Gp, precision=_dp_prec())
     return jnp.zeros_like(init), gA, gE
 
 
@@ -747,7 +787,7 @@ def _affine_composites(B, u, v, cvec, P):
 
     def apply_M(u_t, v_t, X):
         Y = v_t[..., :, None] * X
-        Z = jnp.einsum("miq,mbqk->mbik", B, Y, precision=_DP_PRECISION)
+        Z = jnp.einsum("miq,mbqk->mbik", B, Y, precision=_dp_prec())
         return u_t[..., :, None] * Z
 
     eye = jnp.broadcast_to(jnp.eye(q, dtype=cvec.dtype), (m, b * P, q, q))
@@ -777,7 +817,7 @@ def _affine_boundary_fold(comp, x_term):
 
     def fold(vb, comp_p):
         x_start = comp_p[..., -1] + jnp.einsum(
-            "mbij,mbj->mbi", comp_p[..., :q], vb, precision=_DP_PRECISION
+            "mbij,mbj->mbi", comp_p[..., :q], vb, precision=_dp_prec()
         )
         return x_start, vb
 
@@ -825,7 +865,7 @@ def _affine_outputs(B, u, v, cvec, P, rights):
     def out_step(x, inp):
         u_t, v_t, c_t = inp
         x_new = c_t + u_t * jnp.einsum(
-            "miq,mbq->mbi", B, v_t * x, precision=_DP_PRECISION
+            "miq,mbq->mbi", B, v_t * x, precision=_dp_prec()
         )
         return x_new, x_new
 
@@ -942,8 +982,8 @@ def _posterior_analytic_vjp(init, A, E, P, no_loglik, ct, ct_ll_direct, saved):
     # Residual of the lb adjoint only — its gamma*S part is inside kappa.
     Fp_of, Gp = _backward_gA_factors(lb, sp, elb)
     gA = (
-        jnp.einsum("mbti,mbtj->mij", F, xi_u + G_of(bhat), precision=_DP_PRECISION)
-        + jnp.einsum("mbti,mbtj->mij", Fp_of(chat), Gp, precision=_DP_PRECISION)
+        jnp.einsum("mbti,mbtj->mij", F, xi_u + G_of(bhat), precision=_dp_prec())
+        + jnp.einsum("mbti,mbtj->mij", Fp_of(chat), Gp, precision=_dp_prec())
     )
     return ginit, gA, gE
 
@@ -1095,7 +1135,7 @@ def _loglik_bw_stats(init, A, E, la, lb, ll, ct):
         jnp.exp(lb[:, :, 1:] + log_E[:, :, 1:] - ll[..., None, None] + cshift)
         * ct[..., None, None]
     )
-    gA = jnp.einsum("mbti,mbtj->mij", w, u, precision=_DP_PRECISION)
+    gA = jnp.einsum("mbti,mbtj->mij", w, u, precision=_dp_prec())
     return ginit, gA, gE
 
 
@@ -1135,7 +1175,7 @@ def _loglik_seq_primal(init, A, E):
 
     def step(carry, e_t):
         alpha, ll = carry
-        r = jnp.einsum("mbq,mqp->mbp", alpha, A, precision=_DP_PRECISION)
+        r = jnp.einsum("mbq,mqp->mbp", alpha, A, precision=_dp_prec())
         s = _clamped(e_t) * _clamped(r)
         z = jnp.sum(s, axis=-1, keepdims=True)
         return (s / z, ll + jnp.log(z[..., 0])), None

@@ -131,6 +131,12 @@ class Trainer:
 
     def init(self, key, input_dim: int):
         params = self.layer.init_params(key, input_dim)
+        return params, self.init_from_params(params)
+
+    def init_from_params(self, params):
+        """Fresh optimizer state for EXISTING params — after a checkpoint
+        load into a new Trainer, or after model surgery that changes the
+        param structure (``HMMLayer.resize``, ``select_models``)."""
         mask = make_frozen_mask(self.layer, params)
         labels = jax.tree.map(
             lambda trainable: "trainable" if trainable else "frozen", mask
@@ -141,7 +147,8 @@ class Trainer:
         )
         opt_state = tx.init(params)
         self._tx = tx
-        return params, opt_state
+        self._train_step = None
+        return opt_state
 
     def _build_step(self):
         layer, tx = self.layer, self._tx

@@ -68,6 +68,35 @@ class TestAlign:
             residues = row.replace("-", "").replace(".", "").upper()
             assert residues == orig[n]
 
+    def test_align_with_adaptation(self, tmp_path):
+        """--adapt-rounds: learnMSA-style length adaptation mid-training."""
+        rng = np.random.default_rng(3)
+        consensus = "MKLVAEQWRD"
+        fasta = tmp_path / "prot.fa"
+        with open(fasta, "w") as fh:
+            for i in range(8):
+                seq = "".join(c for c in consensus if rng.random() > 0.1)
+                fh.write(f">seq{i}\n{seq}\n")
+        out = tmp_path / "aln.fa"
+        rc = main(
+            [
+                "align",
+                "-i", str(fasta),
+                "-o", str(out),
+                "--models", "1",
+                "--steps", "8",
+                "--adapt-rounds", "1",
+                "--batch", "8",
+                "--cpu",
+            ]
+        )
+        assert rc == 0
+        aln = list(data.read_fasta(out))
+        orig = dict(data.read_fasta(fasta))
+        assert len({len(r) for _, r in aln}) == 1
+        for n, row in aln:
+            assert row.replace("-", "").replace(".", "").upper() == orig[n]
+
     def test_align_empty_input(self, tmp_path):
         fasta = tmp_path / "empty.fa"
         fasta.write_text("")

@@ -1066,3 +1066,41 @@ class TestStreamingSmoother:
             streaming.streaming_smoother_init(ini, Aj, Ej, lag=0)
         with pytest.raises(ValueError, match="must be > lag"):
             streaming.streaming_smoother_init(ini, Aj, Ej, lag=8)
+
+
+class TestDpPrecision:
+    """Runtime-settable DP-einsum precision (round-4 sweep decision)."""
+
+    def test_set_and_restore(self):
+        from hmm_layer_tpu import dp_precision, set_dp_precision
+        from hmm_layer_tpu.ops import recursion as rec
+        from jax import lax
+
+        base = rec._dp_prec()
+        prev = set_dp_precision("high")
+        assert rec._dp_prec() == lax.Precision.HIGH
+        set_dp_precision(prev)
+        assert rec._dp_prec() == base
+        with dp_precision("high"):
+            assert rec._dp_prec() == lax.Precision.HIGH
+        assert rec._dp_prec() == base
+
+    def test_bad_mode_raises(self):
+        from hmm_layer_tpu import set_dp_precision
+
+        with pytest.raises(KeyError):
+            set_dp_precision("bf16")
+
+    def test_loglik_matches_across_modes_on_cpu(self):
+        # On CPU all precision modes lower to the same f32 kernels; the
+        # knob must not change dispatch/values (TPU differences are
+        # measured in benchmarks/precision_sweep.py).
+        from hmm_layer_tpu import dp_precision
+        from hmm_layer_tpu.ops import recursion
+
+        init, A, E = random_hmm(RNG, q=5, L=16, b=2)
+        ini, Aj, Ej = _stack(init, A, E)
+        ll0 = np.asarray(recursion.log_likelihood(ini, Aj, Ej))
+        with dp_precision("high"):
+            ll1 = np.asarray(recursion.log_likelihood(ini, Aj, Ej))
+        np.testing.assert_array_equal(ll0, ll1)
