@@ -59,7 +59,9 @@ def _mxu_summary_kernel(
 
     A_ref: (qp, qp) VMEM — linear transition matrix, lanes = target state.
     Av_ref: (qp, qp) VMEM — same matrix (read as rows at init).
-    e_ref: (1, eb, qp) VMEM — emissions of this step, rows = elements.
+    e_ref: (1, 1, eb, qp) VMEM — emissions of this step, rows = elements
+        (4D so the block's trailing dims EQUAL the array dims — Mosaic
+        requires trailing block dims divisible by (8, 128) or full).
     out_ref: (eb * qb, qp) — final log operators, written at t == c-1.
     M: (eb * qb, qp) scratch — row-scaled running operators.
     LL: (eb * qb, 1) scratch — accumulated log-scale per row.
@@ -76,7 +78,7 @@ def _mxu_summary_kernel(
 
     def e_rows():
         return jax.lax.dot_general(
-            onehot_el, e_ref[0],
+            onehot_el, e_ref[0, 0],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (rows, qp): e[k] broadcast over the border rows of each element
@@ -150,7 +152,7 @@ def sum_chunk_summaries_mxu(A, E_S, P: int, interpret: bool = False):
     A_pad = A_pad.at[:q, :q].set(A.astype(jnp.float32))
     E_pad = jnp.pad(
         E_S, ((0, 0), (0, R_pad - R), (0, qp - q)), constant_values=1.0
-    )
+    ).reshape(c, R_pad // eb, eb, qp)
 
     grid = (R_pad // eb, c)
     out = pl.pallas_call(
@@ -160,7 +162,9 @@ def sum_chunk_summaries_mxu(A, E_S, P: int, interpret: bool = False):
             pl.BlockSpec(memory_space=pltpu.VMEM),  # A
             pl.BlockSpec(memory_space=pltpu.VMEM),  # A (init rows)
             pl.BlockSpec(
-                (1, eb, qp), lambda j, t: (t, j, 0), memory_space=pltpu.VMEM
+                (1, 1, eb, qp),
+                lambda j, t: (t, j, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
