@@ -26,6 +26,7 @@ All commands run on whatever backend JAX selects (the TPU when present);
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 __all__ = ["main", "build_parser"]
@@ -35,6 +36,14 @@ def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="hmm_layer_tpu",
         description="TPU-native differentiable HMM toolkit",
+    )
+    ap.add_argument(
+        "--cache-dir",
+        default=os.environ.get("HMM_COMPILE_CACHE"),
+        help="persistent JAX compilation-cache directory (default: "
+             "$HMM_COMPILE_CACHE). Cold TPU compiles dominate single-contig "
+             "CLI runs; a cache makes repeat runs with the same window/"
+             "batch shapes start in seconds",
     )
     sub = ap.add_subparsers(dest="command", required=True)
 
@@ -559,8 +568,18 @@ def _evaluate(args) -> int:
     return 0
 
 
+def _enable_compile_cache(cache_dir: str):
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.cache_dir:
+        _enable_compile_cache(args.cache_dir)
     if args.command == "align":
         return _align(args)
     if args.command == "predict":

@@ -19,6 +19,19 @@ class TestParser:
         )
         assert args.command == "align" and args.models == 2
 
+    def test_cache_dir_flag(self, tmp_path, monkeypatch):
+        monkeypatch.delenv("HMM_COMPILE_CACHE", raising=False)
+        args = build_parser().parse_args(
+            ["--cache-dir", str(tmp_path), "evaluate",
+             "--pred", "a", "--truth", "b"]
+        )
+        assert args.cache_dir == str(tmp_path)
+        monkeypatch.setenv("HMM_COMPILE_CACHE", "/x/y")
+        args = build_parser().parse_args(
+            ["evaluate", "--pred", "a", "--truth", "b"]
+        )
+        assert args.cache_dir == "/x/y"
+
     def test_model_lengths(self):
         assert _model_lengths([10, 12, 14], 3, None) == [9, 10, 11]
         assert _model_lengths([10], 1, 5) == [5]
