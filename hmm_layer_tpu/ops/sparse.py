@@ -38,6 +38,7 @@ transitioner's ``make_A_sparse``.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import numpy as np
@@ -46,6 +47,12 @@ import jax.numpy as jnp
 from jax import lax
 
 from .semiring import EPS
+
+# Unroll factor for the sequential time scans. Unlike the dense engine's
+# matmul-chain scans (HMM_SEQ_UNROLL measured negative, CLAUDE.md), the
+# sparse step bodies are tiny gather/segment-sum ops where loop overhead
+# could matter — knob for measurement; see BASELINE.md round 4.
+_UNROLL = int(os.environ.get("HMM_SPARSE_UNROLL", "1"))
 
 __all__ = [
     "sparse_forward",
@@ -175,7 +182,7 @@ def sparse_forward(init, indices, edge_probs, E):
         ll_new = ll + jnp.log(z[..., 0])
         return (alpha_new, ll_new), jnp.log(alpha_new) + ll_new[..., None]
 
-    (_, ll), outs = lax.scan(step, (alpha0, ll0), Et[1:])
+    (_, ll), outs = lax.scan(step, (alpha0, ll0), Et[1:], unroll=_UNROLL)
     log_alpha0 = jnp.log(alpha0) + ll0[..., None]
     log_alpha = jnp.concatenate([log_alpha0[None], outs], axis=0)
     return jnp.moveaxis(log_alpha, 0, 2), ll
@@ -200,7 +207,7 @@ def sparse_backward(indices, edge_probs, E):
         ll_new = ll + jnp.log(z[..., 0])
         return (beta_new, ll_new), jnp.log(beta_new) + ll_new[..., None]
 
-    _, outs = lax.scan(step, (beta_last, ll_last), Et[1:], reverse=True)
+    _, outs = lax.scan(step, (beta_last, ll_last), Et[1:], reverse=True, unroll=_UNROLL)
     log_beta_last = jnp.zeros((1, m, b, q), E.dtype)
     log_beta = jnp.concatenate([outs, log_beta_last], axis=0)
     return jnp.moveaxis(log_beta, 0, 2)
@@ -236,7 +243,7 @@ def _sparse_loglik_taped(init, indices, edge_probs, E):
         z = jnp.sum(s, axis=-1, keepdims=True)
         return (s / z, ll + jnp.log(z[..., 0])), None
 
-    (_, ll), _ = lax.scan(step, carry0, Et[1:])
+    (_, ll), _ = lax.scan(step, carry0, Et[1:], unroll=_UNROLL)
     return ll
 
 
@@ -309,14 +316,14 @@ def sparse_viterbi(init, indices, edge_probs, E):
         bp = src_lookup[jnp.minimum(win_edge, n)]  # (m, b, q) prev state
         return best + e_t, bp
 
-    delta_final, backptrs = lax.scan(step, delta0, Et[1:])
+    delta_final, backptrs = lax.scan(step, delta0, Et[1:], unroll=_UNROLL)
     last_state = jnp.argmax(delta_final, axis=-1).astype(jnp.int32)
 
     def backstep(state, bp_t):
         prev = jnp.take_along_axis(bp_t, state[..., None], axis=-1)[..., 0]
         return prev, prev
 
-    _, path_rev = lax.scan(backstep, last_state, backptrs, reverse=True)
+    _, path_rev = lax.scan(backstep, last_state, backptrs, reverse=True, unroll=_UNROLL)
     path = jnp.concatenate([path_rev, last_state[None]], axis=0)
     return jnp.moveaxis(path, 0, 2)
 
@@ -345,7 +352,7 @@ def _sparse_affine_reverse(plan, edge_probs, u, v, c, transpose):
         return x_t, x_t
 
     x_term = jnp.zeros((m, b, q), c.dtype)
-    _, xs = lax.scan(step, x_term, (tm(u), tm(v), tm(c)), reverse=True)
+    _, xs = lax.scan(step, x_term, (tm(u), tm(v), tm(c)), reverse=True, unroll=_UNROLL)
     return jnp.moveaxis(xs, 0, 2)
 
 
@@ -362,7 +369,8 @@ def _edge_outer_sum(plan, F, G):
 
     acc0 = jnp.zeros((m, plan.n), F.dtype)
     acc, _ = lax.scan(
-        step, acc0, (jnp.moveaxis(F, 2, 0), jnp.moveaxis(G, 2, 0))
+        step, acc0, (jnp.moveaxis(F, 2, 0), jnp.moveaxis(G, 2, 0)),
+        unroll=_UNROLL,
     )
     return acc[:, plan.inv_d]
 

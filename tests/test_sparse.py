@@ -384,3 +384,26 @@ def _path_score(init, A, E, paths):
                 s += np.log(A[i, p[t - 1], p[t]]) + np.log(E[i, j, t, p[t]])
             out[i, j] = s
     return out
+
+
+def test_unroll_knob_parity(monkeypatch):
+    """HMM_SPARSE_UNROLL changes scheduling only — values are identical.
+
+    (On the axon TPU toolchain unroll>1 crashes the worker — BASELINE.md
+    round 4; the knob stays default-1 there. This pins CPU semantics.)
+    """
+    from hmm_layer_tpu.ops import sparse as sp
+
+    rng = np.random.default_rng(3)
+    trans = SimpleGenePredTransitions()
+    params = trans.init_params(KEY)
+    indices, probs = trans.make_A_sparse(params)
+    init = trans.make_initial_distribution(params)
+    E = _emissions(rng, 1, 2, 40, trans.num_states)
+    ll0 = np.asarray(sp.sparse_log_likelihood(init, indices, probs, E))
+    lg0, _ = sp.sparse_posterior(init, indices, probs, E)
+    monkeypatch.setattr(sp, "_UNROLL", 4)
+    ll4 = np.asarray(sp.sparse_log_likelihood(init, indices, probs, E))
+    lg4, _ = sp.sparse_posterior(init, indices, probs, E)
+    np.testing.assert_allclose(ll0, ll4, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(lg0), np.asarray(lg4), atol=1e-5)
