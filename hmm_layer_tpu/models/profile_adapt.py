@@ -58,15 +58,20 @@ def propose_keep(
     expand_threshold: float = 1.0,
     max_new_per_site: int = 3,
     min_length: int = 2,
+    flank_threshold: float = 2.0,
+    max_new_per_flank: int = 4,
 ):
     """Propose a ``keep`` map (resize semantics) from usage statistics.
 
     Match columns with occupancy below ``min_occupancy`` are discarded;
     ``round(insert_load)`` new columns (capped at ``max_new_per_site``)
-    are inserted where an insertion site absorbs at least
+    are inserted where an interior insertion site absorbs at least
     ``expand_threshold`` residues per sequence. Flank loads (sites 0 and
-    Lm) are structural (flank states exist for unaligned tails) and do
-    not trigger expansion.
+    Lm) get their own, higher ``flank_threshold``: flank states
+    legitimately absorb short unaligned tails, but a too-short model
+    parks the REST of the motif there (measured: a 12-column model on a
+    24-column planted motif puts ~12.7 residues/seq in the left flank),
+    so heavy flank load grows capped new columns at that end.
 
     Returns:
       ``(keep (new_length,), new_length)`` — entries are surviving old
@@ -75,13 +80,20 @@ def propose_keep(
     occupancy = np.asarray(occupancy)
     insert_load = np.asarray(insert_load)
     Lm = len(occupancy)
-    keep = []
+
+    def flank_new(load):
+        if load >= flank_threshold:
+            return min(int(round(load)), max_new_per_flank)
+        return 0
+
+    keep = [-1] * flank_new(insert_load[0])
     for j in range(Lm):
         if occupancy[j] >= min_occupancy:
             keep.append(j)
         if 0 < j < Lm - 1 and insert_load[j + 1] >= expand_threshold:
             n_new = min(int(round(insert_load[j + 1])), max_new_per_site)
             keep.extend([-1] * n_new)
+    keep.extend([-1] * flank_new(insert_load[Lm]))
     surviving = [k for k in keep if k >= 0]
     if len(surviving) < min_length:
         # Degenerate proposal (everything below threshold): keep the

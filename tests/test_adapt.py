@@ -85,13 +85,27 @@ class TestProposeKeep:
         keep, _ = propose_keep(occ, load, max_new_per_site=3)
         assert int(np.sum(keep == -1)) == 3
 
-    def test_flank_loads_do_not_expand(self):
+    def test_light_flank_loads_do_not_expand(self):
         occ = np.ones(3)
-        # Sites 0 and Lm=3 are flanks: heavy load there must not expand.
-        load = np.asarray([5.0, 0.0, 0.0, 5.0])
+        # Short unaligned tails (below flank_threshold) are what the
+        # flank states are FOR — no expansion.
+        load = np.asarray([1.5, 0.0, 0.0, 1.5])
         keep, n = propose_keep(occ, load)
         np.testing.assert_array_equal(keep, [0, 1, 2])
         assert n == 3
+
+    def test_heavy_flank_loads_grow_capped_end_columns(self):
+        occ = np.ones(3)
+        # A too-short model parks the rest of the motif in a flank
+        # (measured: 12.7 residues/seq, BASELINE.md round 4): grow capped
+        # fresh columns at that end.
+        load = np.asarray([12.7, 0.0, 0.0, 0.0])
+        keep, n = propose_keep(occ, load)
+        np.testing.assert_array_equal(keep, [-1, -1, -1, -1, 0, 1, 2])
+        assert n == 7
+        keep, n = propose_keep(occ, np.asarray([0.0, 0.0, 0.0, 2.4]))
+        np.testing.assert_array_equal(keep, [0, 1, 2, -1, -1])
+        assert n == 5
 
     def test_degenerate_floor(self):
         occ = np.asarray([0.01, 0.2, 0.05, 0.1])
@@ -164,6 +178,24 @@ class TestAdaptProfileLayer:
             np.mean(np.asarray(new_layer.log_likelihood(new_params, x)))
         )
         assert np.isfinite(ll_after) and ll_after >= ll_before - 1e-3
+
+    def test_grows_toward_longer_motif(self):
+        # Too-short model on a longer motif: the overflow parks in a
+        # flank; adaptation must GROW the model (BASELINE.md round 4:
+        # 12->16->20->24 recovers a planted Lm=24 exactly).
+        layer, params = _planted_layer([3])
+        x = _motif_inputs([0, 1, 2, 3, 4, 0, 1, 2])  # 8-residue motif
+        trainer = Trainer(layer, optimizer=optax.adam(0.2))
+        opt_state = trainer.init_from_params(params)
+        params, opt_state, _ = trainer.fit(
+            params, opt_state, batches=(x for _ in range(120))
+        )
+        new_layer, new_params, info = adapt_profile_layer(
+            layer, params, x, jax.random.PRNGKey(1)
+        )
+        assert info[0]["new_length"] > 3
+        ll = new_layer.log_likelihood(new_params, x)
+        assert np.all(np.isfinite(np.asarray(ll)))
 
     def test_multi_model_independent_proposals(self):
         layer, params = _planted_layer([3, 5])
