@@ -223,12 +223,15 @@ def _align(args) -> int:
         f"models (lengths {lengths}) for {args.steps} steps ..."
     )
     final_steps = args.steps
-    if args.adapt_rounds > 0:
+    # Clamp so adaptation never exceeds the user's step budget: at most
+    # steps-1 rounds, and the final phase gets the exact remainder.
+    adapt_rounds = min(args.adapt_rounds, max(0, args.steps - 1))
+    if adapt_rounds > 0:
         from .models.profile_adapt import adapt_profile_layer
 
-        phase = max(1, args.steps // (args.adapt_rounds + 1))
-        final_steps = max(1, args.steps - args.adapt_rounds * phase)
-        for r in range(args.adapt_rounds):
+        phase = max(1, args.steps // (adapt_rounds + 1))
+        final_steps = args.steps - adapt_rounds * phase
+        for r in range(adapt_rounds):
             params, opt_state, _ = trainer.fit(
                 params, opt_state, batches=batches(phase)
             )

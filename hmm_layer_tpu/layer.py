@@ -387,12 +387,13 @@ class HMMLayer:
         length-adaptation hook (the reference's ``set_lengths`` rebuilds
         kernels from initializers, ``Transitioner.py:39-61``).
         """
+        keys = jax.random.split(key, 1 + len(self.emissions))
         new_trans, tparams = self.transitions.resize(
-            params["transitions"], new_lengths, key, keep
+            params["transitions"], new_lengths, keys[0], keep
         )
         new_emits, eparams = [], []
-        for em, p in zip(self.emissions, params["emissions"]):
-            ne, np_ = em.resize(p, new_lengths, key, keep)
+        for i, (em, p) in enumerate(zip(self.emissions, params["emissions"])):
+            ne, np_ = em.resize(p, new_lengths, keys[1 + i], keep)
             new_emits.append(ne)
             eparams.append(np_)
         new_layer = HMMLayer(

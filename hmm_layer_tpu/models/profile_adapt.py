@@ -90,7 +90,7 @@ def propose_keep(
     for j in range(Lm):
         if occupancy[j] >= min_occupancy:
             keep.append(j)
-        if 0 < j < Lm - 1 and insert_load[j + 1] >= expand_threshold:
+        if j < Lm - 1 and insert_load[j + 1] >= expand_threshold:
             n_new = min(int(round(insert_load[j + 1])), max_new_per_site)
             keep.extend([-1] * n_new)
     keep.extend([-1] * flank_new(insert_load[Lm]))

@@ -79,6 +79,15 @@ class TestProposeKeep:
         np.testing.assert_array_equal(keep, [0, 1, -1, -1, 2, 3])
         assert n == 6
 
+    def test_expand_first_interior_site(self):
+        # Regression (round-4 review): the site between match columns 0
+        # and 1 (insert_load[1]) must be expandable too.
+        occ = np.ones(4)
+        load = np.asarray([0.0, 3.0, 0.0, 0.0, 0.0])
+        keep, n = propose_keep(occ, load, expand_threshold=1.0)
+        np.testing.assert_array_equal(keep, [0, -1, -1, -1, 1, 2, 3])
+        assert n == 7
+
     def test_expansion_cap(self):
         occ = np.ones(4)
         load = np.asarray([0.0, 0.0, 9.0, 0.0, 0.0])
