@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--k", type=int, default=36)  # q = 1 + 14k = 505
     ap.add_argument("--L", type=int, default=10_000)
     ap.add_argument("--b", type=int, default=8)
+    ap.add_argument("--microbatch", type=int, default=None,
+                    help="gradient accumulation chunk (unlocks CE at "
+                         "b=64, which OOMs whole-batch)")
     args = ap.parse_args()
 
     import jax
@@ -58,26 +61,45 @@ def main():
     )
     labels = jnp.asarray(rng.integers(0, q, size=(1, args.b, args.L)))
 
-    def map_loss(kern, e):
+    def map_loss(kern, e, lab=None):
         probs = sparse_edge_softmax(indices, kern, q)[None]
         return -jnp.mean(sparse.sparse_log_likelihood(init_dist, indices, probs, e))
 
-    def ce_loss(kern, e):
+    def ce_loss(kern, e, lab=None):
         probs = sparse_edge_softmax(indices, kern, q)[None]
         lg, _ = sparse.sparse_posterior(init_dist, indices, probs, e)
+        lab = labels if lab is None else lab
         return -jnp.mean(
-            jnp.take_along_axis(lg, labels[..., None], axis=-1)
+            jnp.take_along_axis(lg, lab[..., None], axis=-1)
         )
 
     def slope(loss_fn, label):
+        if args.microbatch:
+            from hmm_layer_tpu.training import microbatched_value_and_grad
+
+            def vag(kern, e):
+                # Gradient accumulation wrt the transition kernel (the
+                # trainable params in real use; E grads flow through the
+                # emitter inside loss_fn there). Labels ride the batch
+                # pytree so they micro-split alongside the emissions.
+                v, gk = microbatched_value_and_grad(
+                    lambda kk, part: loss_fn(kk, part["e"], part["lab"]),
+                    kern, {"e": e, "lab": labels}, args.microbatch,
+                )
+                return v, gk
+        else:
+            def vag(kern, e):
+                v, (gk, ge) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+                    kern, e
+                )
+                return v, gk + jnp.sum(ge[:, 0, 0])
+
         def rep(n):
             @jax.jit
             def run(kern, e):
                 def body(i, acc):
-                    v, (gk, ge) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
-                        kern, e * (1.0 + 1e-6 * i)
-                    )
-                    return acc + v + jnp.sum(gk) + jnp.sum(ge[:, 0, 0])
+                    v, gk = vag(kern, e * (1.0 + 1e-6 * i))
+                    return acc + v + jnp.sum(gk)
 
                 return lax.fori_loop(0, n, body, 0.0)
 

@@ -58,6 +58,60 @@ def select_models(component, params, indices):
     return copy, jax.tree.map(take, params)
 
 
+def microbatched_value_and_grad(loss_fn, params, batch, micro: int):
+    """Gradient accumulation over the sequence-batch axis (axis 1).
+
+    Computes ``mean_k loss_fn(params, batch[:, k*micro:(k+1)*micro])`` and
+    its gradient via a ``lax.scan`` over micro-chunks, so the peak
+    residual memory is one micro-batch's worth instead of the whole
+    batch's. Exact for objectives that are means over the batch axis plus
+    batch-independent terms (the MAP loss's scaled prior and the CE loss
+    both qualify: the per-batch mean over equal-size chunks averages to
+    the full-batch mean, and the prior/aux terms appear once in the mean).
+
+    Args:
+        loss_fn: ``loss_fn(params, micro_batch) -> scalar``.
+        batch: pytree of arrays shaped ``(m, b, ...)``; ``b`` must be
+            divisible by ``micro``.
+        micro: sequences per micro-batch.
+    Returns:
+        ``(loss, grads)`` matching ``jax.value_and_grad`` of the
+        full-batch mean objective.
+    """
+    b = jax.tree_util.tree_leaves(batch)[0].shape[1]
+    if b % micro:
+        raise ValueError(
+            f"batch axis ({b}) must be divisible by microbatch ({micro})"
+        )
+    k = b // micro
+    if k == 1:
+        return jax.value_and_grad(lambda p: loss_fn(p, batch))(params)
+
+    def split(leaf):
+        parts = leaf.reshape(
+            leaf.shape[0], k, micro, *leaf.shape[2:]
+        )
+        return jnp.moveaxis(parts, 1, 0)  # (k, m, micro, ...)
+
+    parts = jax.tree.map(split, batch)
+
+    def body(carry, part):
+        loss_sum, grad_sum = carry
+        l, g = jax.value_and_grad(lambda p: loss_fn(p, part))(params)
+        return (
+            loss_sum + l,
+            jax.tree.map(jnp.add, grad_sum, g),
+        ), None
+
+    zero = (
+        jnp.zeros((), jnp.result_type(float)),
+        jax.tree.map(jnp.zeros_like, params),
+    )
+    (loss_sum, grad_sum), _ = jax.lax.scan(body, zero, parts)
+    inv = 1.0 / k
+    return loss_sum * inv, jax.tree.map(lambda g: g * inv, grad_sum)
+
+
 class FitSelectResult(NamedTuple):
     """Result of :meth:`Trainer.fit_select`."""
 
@@ -114,6 +168,7 @@ class Trainer:
         checkpoint_every: int = 100,
         metrics_path: str | None = None,
         loss_fn=None,
+        microbatch: int | None = None,
     ):
         self.layer = layer
         #: optional objective override ``loss_fn(params, batch, indices)``;
@@ -126,6 +181,12 @@ class Trainer:
         self.data_axis = data_axis
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = checkpoint_every
+        #: gradient accumulation: compute value_and_grad in micro-batches
+        #: of this many sequences (batch axis 1) and average — identical
+        #: objective, O(b/microbatch) smaller residual memory. Unlocks
+        #: e.g. config-5 posterior-CE at b=64, which OOMs whole-batch
+        #: (33 G > 15.75 G HBM, BASELINE.md round 4).
+        self.microbatch = microbatch
         self.metrics = MetricsLogger(metrics_path)
         self._train_step = None
 
@@ -152,14 +213,23 @@ class Trainer:
 
     def _build_step(self):
         layer, tx = self.layer, self._tx
+        micro = self.microbatch
         loss_fn = self.loss_fn or (
             lambda p, batch, indices: layer.loss(p, batch, indices=indices)
         )
 
         def train_step(params, opt_state, batch, indices):
-            loss, grads = jax.value_and_grad(
-                lambda p: loss_fn(p, batch, indices)
-            )(params)
+            if micro:
+                loss, grads = microbatched_value_and_grad(
+                    lambda p, part: loss_fn(p, part, indices),
+                    params,
+                    batch,
+                    micro,
+                )
+            else:
+                loss, grads = jax.value_and_grad(
+                    lambda p: loss_fn(p, batch, indices)
+                )(params)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss

@@ -163,6 +163,58 @@ class TestTrainer:
         )
         assert float(layer.loss(params, batch)) < loss0
 
+    def test_microbatched_grad_matches_full(self):
+        from hmm_layer_tpu.training import microbatched_value_and_grad
+
+        layer = self._layer()
+        params = layer.init_params(KEY, input_dim=7)
+        batch = next(iter(self._batches(1, b=8)))
+        loss_full, g_full = jax.value_and_grad(layer.loss)(params, batch)
+        loss_mb, g_mb = microbatched_value_and_grad(
+            lambda p, part: layer.loss(p, part), params, batch, micro=2
+        )
+        np.testing.assert_allclose(
+            float(loss_full), float(loss_mb), rtol=1e-5
+        )
+        for a, b_ in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_mb)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-6
+            )
+
+    def test_microbatched_trainer_step_matches_full(self):
+        # SGD: updates proportional to grads, so fp-level accumulation
+        # differences stay fp-level (adam's m/sqrt(v) amplifies noise on
+        # near-zero gradient components to O(lr)).
+        layer = self._layer()
+        batch = next(iter(self._batches(1, b=8)))
+        results = []
+        for micro in (None, 4):
+            trainer = Trainer(
+                layer, optimizer=optax.sgd(0.5), microbatch=micro
+            )
+            params, opt_state = trainer.init(KEY, input_dim=7)
+            params, opt_state, loss = trainer.fit(
+                params, opt_state, [batch] * 3
+            )
+            results.append((params, float(loss)))
+        (p_full, l_full), (p_mb, l_mb) = results
+        np.testing.assert_allclose(l_full, l_mb, rtol=1e-5)
+        for a, b_ in zip(jax.tree.leaves(p_full), jax.tree.leaves(p_mb)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-6
+            )
+
+    def test_microbatch_indivisible_raises(self):
+        from hmm_layer_tpu.training import microbatched_value_and_grad
+
+        layer = self._layer()
+        params = layer.init_params(KEY, input_dim=7)
+        batch = next(iter(self._batches(1, b=6)))
+        with pytest.raises(ValueError, match="divisible"):
+            microbatched_value_and_grad(
+                lambda p, part: layer.loss(p, part), params, batch, micro=4
+            )
+
     def test_frozen_mask_keeps_params(self):
         from hmm_layer_tpu.models import ProfileEmissions, ProfileTransitions
 
