@@ -220,8 +220,17 @@ class Trainer:
 
         def train_step(params, opt_state, batch, indices):
             if micro:
+                if indices is not None:
+                    raise ValueError(
+                        "Trainer(microbatch=...) does not compose with "
+                        "sequence-weight indices: the full-batch index "
+                        "array cannot be applied to a micro-chunk's "
+                        "logliks. Put per-sequence weights (or labels) "
+                        "into the batch pytree instead, so they "
+                        "micro-split alongside the inputs."
+                    )
                 loss, grads = microbatched_value_and_grad(
-                    lambda p, part: loss_fn(p, part, indices),
+                    lambda p, part: loss_fn(p, part, None),
                     params,
                     batch,
                     micro,

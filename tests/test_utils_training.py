@@ -447,3 +447,19 @@ class TestTrainableMasks:
             mask = trans.trainable_mask(params)
             assert mask["kernels"][0]["right_flank_loop"] is False, name
             assert mask["kernels"][0]["match_to_match"] is True
+
+
+def test_microbatch_rejects_sequence_weight_indices():
+    layer = HMMLayer(
+        SimpleGenePredTransitions(),
+        SimpleGenePredEmissions(),
+        use_prior=False,
+        sequence_weights=np.ones(8, np.float32),
+    )
+    trainer = Trainer(layer, optimizer=optax.sgd(0.1), microbatch=2)
+    params, opt_state = trainer.init(KEY, input_dim=7)
+    batch = jax.nn.softmax(jax.random.normal(KEY, (1, 4, 12, 7)), axis=-1)
+    with pytest.raises(ValueError, match="microbatch"):
+        trainer.fit(
+            params, opt_state, [(batch, jnp.arange(4))], steps=1
+        )
