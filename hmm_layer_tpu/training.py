@@ -26,7 +26,13 @@ from .layer import HMMLayer
 from .utils import checkpoint as ckpt
 from .utils.metrics import MetricsLogger, Throughput
 
-__all__ = ["Trainer", "make_frozen_mask", "select_models", "FitSelectResult"]
+__all__ = [
+    "Trainer",
+    "make_frozen_mask",
+    "microbatched_value_and_grad",
+    "select_models",
+    "FitSelectResult",
+]
 
 
 def select_models(component, params, indices):
@@ -64,10 +70,19 @@ def microbatched_value_and_grad(loss_fn, params, batch, micro: int):
     Computes ``mean_k loss_fn(params, batch[:, k*micro:(k+1)*micro])`` and
     its gradient via a ``lax.scan`` over micro-chunks, so the peak
     residual memory is one micro-batch's worth instead of the whole
-    batch's. Exact for objectives that are means over the batch axis plus
-    batch-independent terms (the MAP loss's scaled prior and the CE loss
-    both qualify: the per-batch mean over equal-size chunks averages to
-    the full-batch mean, and the prior/aux terms appear once in the mean).
+    batch's (chunks are read from the original buffers with
+    ``dynamic_slice`` — no rearranged copy of the batch is materialized).
+
+    EXACT for objectives that are UNWEIGHTED means over the batch axis
+    plus batch-independent terms (the MAP loss's scaled prior and the
+    unmasked CE loss qualify: the mean over equal-size chunks averages to
+    the full-batch mean, and the prior/aux terms appear once in the
+    mean). NOT exact for per-batch-normalized weighted aggregates —
+    ``sum(w*ll)/sum(w)`` or a ``label_mask``-normalized CE computed
+    per chunk averages with uniform 1/k weights, which differs whenever
+    chunk weight/mask sums differ (and can even flip gradient signs). For
+    those, normalize inside ``loss_fn`` by the FULL-batch weight/mask sum
+    (a constant you close over), not the chunk's own sum.
 
     Args:
         loss_fn: ``loss_fn(params, micro_batch) -> scalar``.
@@ -87,16 +102,14 @@ def microbatched_value_and_grad(loss_fn, params, batch, micro: int):
     if k == 1:
         return jax.value_and_grad(lambda p: loss_fn(p, batch))(params)
 
-    def split(leaf):
-        parts = leaf.reshape(
-            leaf.shape[0], k, micro, *leaf.shape[2:]
-        )
-        return jnp.moveaxis(parts, 1, 0)  # (k, m, micro, ...)
-
-    parts = jax.tree.map(split, batch)
-
-    def body(carry, part):
+    def body(carry, i):
         loss_sum, grad_sum = carry
+        part = jax.tree.map(
+            lambda leaf: jax.lax.dynamic_slice_in_dim(
+                leaf, i * micro, micro, axis=1
+            ),
+            batch,
+        )
         l, g = jax.value_and_grad(lambda p: loss_fn(p, part))(params)
         return (
             loss_sum + l,
@@ -107,7 +120,7 @@ def microbatched_value_and_grad(loss_fn, params, batch, micro: int):
         jnp.zeros((), jnp.result_type(float)),
         jax.tree.map(jnp.zeros_like, params),
     )
-    (loss_sum, grad_sum), _ = jax.lax.scan(body, zero, parts)
+    (loss_sum, grad_sum), _ = jax.lax.scan(body, zero, jnp.arange(k))
     inv = 1.0 / k
     return loss_sum * inv, jax.tree.map(lambda g: g * inv, grad_sum)
 
@@ -225,9 +238,12 @@ class Trainer:
                         "Trainer(microbatch=...) does not compose with "
                         "sequence-weight indices: the full-batch index "
                         "array cannot be applied to a micro-chunk's "
-                        "logliks. Put per-sequence weights (or labels) "
-                        "into the batch pytree instead, so they "
-                        "micro-split alongside the inputs."
+                        "logliks, and a per-chunk weighted mean would "
+                        "average WRONGLY (uniform 1/k chunk weights). "
+                        "Use a custom loss_fn that puts the per-sequence "
+                        "weights into the batch pytree AND normalizes by "
+                        "the full-batch weight sum (a constant), not the "
+                        "chunk's own sum."
                     )
                 loss, grads = microbatched_value_and_grad(
                     lambda p, part: loss_fn(p, part, None),
