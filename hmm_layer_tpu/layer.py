@@ -380,13 +380,21 @@ class HMMLayer:
     def resize(self, params, new_lengths, key, keep=None):
         """Param-preserving profile length adaptation at the layer level.
 
-        Resizes every component that supports it (the profile family's
-        transitions/emissions — see ``ProfileTransitions.resize``) to
-        ``new_lengths`` and returns ``(new_layer, new_params)`` with all
-        layer settings carried over. The learnMSA iterative
-        length-adaptation hook (the reference's ``set_lengths`` rebuilds
-        kernels from initializers, ``Transitioner.py:39-61``).
+        Profile-family only: requires every component (transitions and all
+        emitters) to implement ``resize`` — see ``ProfileTransitions.resize``.
+        Returns ``(new_layer, new_params)`` with all layer settings carried
+        over. The learnMSA iterative length-adaptation hook (the
+        reference's ``set_lengths`` rebuilds kernels from initializers,
+        ``Transitioner.py:39-61``).
         """
+        for comp in [self.transitions, *self.emissions]:
+            if not hasattr(comp, "resize"):
+                raise NotImplementedError(
+                    f"{type(comp).__name__} does not support resize — "
+                    "length adaptation is a profile-family capability "
+                    "(ProfileTransitions/ProfileEmissions); gene-pred "
+                    "components have fixed grammar-defined state counts"
+                )
         keys = jax.random.split(key, 1 + len(self.emissions))
         new_trans, tparams = self.transitions.resize(
             params["transitions"], new_lengths, keys[0], keep

@@ -188,7 +188,8 @@ def simulate_genome(
     Genes alternate strands when ``both_strands``; gene ``k`` is placed
     after an intergenic gap of ~``intergenic_len`` random bases. Class
     probabilities are a noisy one-hot of the true 15-state track of each
-    strand reading: ``(1 - noise) * onehot + Uniform(0, noise)``,
+    strand reading: a ``noise/15`` uniform floor, plus ``1 - noise`` on
+    the true class, plus i.i.d. ``Uniform(0, noise)`` per class,
     row-normalized (the same corruption model as the supervised-training
     tests), with minus-strand gene regions looking intergenic on the
     forward reading and vice versa — exactly the two-track input the

@@ -100,7 +100,15 @@ def set_dp_precision(mode: str):
 
 
 class dp_precision:
-    """Context manager form of :func:`set_dp_precision` (trace-time)."""
+    """Context manager form of :func:`set_dp_precision` (trace-time).
+
+    The mode is read when a function is TRACED, not when it runs: a
+    function first traced inside the context keeps that precision after
+    the context exits (jit caches the trace), and wrapping an
+    already-traced jitted call does nothing. Use it around the *first*
+    call of the functions it should affect, or call
+    :func:`set_dp_precision` before building any traces.
+    """
 
     def __init__(self, mode: str):
         self.mode = mode

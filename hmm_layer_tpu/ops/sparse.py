@@ -84,6 +84,14 @@ class EdgePlan:
     )
 
     def __init__(self, indices):
+        if isinstance(indices, jax.core.Tracer):
+            raise TypeError(
+                "sparse edge `indices` must be a static (numpy) array — it "
+                "is preprocessed on the host at trace time (sort orders, "
+                "segment ids); a traced array cannot parameterize the "
+                "static edge plan. Pass the indices from "
+                "make_transition_indices()/make_A_sparse() outside of jit."
+            )
         indices = np.asarray(indices)
         assert indices.ndim == 2 and indices.shape[1] == 2, indices.shape
         self.indices = indices
@@ -107,6 +115,16 @@ class EdgePlan:
     def __eq__(self, other):
         return isinstance(other, EdgePlan) and self._key == other._key
 
+    @staticmethod
+    def cached(indices) -> "EdgePlan":
+        """Memoized constructor (keyed on the index bytes): avoids the two
+        host-side argsorts per call on eager/CPU paths; under jit the plan
+        is trace-time-only anyway."""
+        if isinstance(indices, jax.core.Tracer):
+            return EdgePlan(indices)  # raises the clear TypeError
+        arr = np.asarray(indices, np.int64)
+        return _edge_plan_cached(arr.shape[0], arr.tobytes())
+
     def matvec(self, edge_probs, y, q, transpose: bool = False):
         """``A @ y`` (or ``A.T @ y``) over the edge list; y: (..., q).
 
@@ -120,6 +138,14 @@ class EdgePlan:
         w = edge_probs[..., self.perm_s][:, None, :]
         contrib = y[..., self.dst_s] * w
         return _segsum(contrib, self.src_s, q)
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=32)
+def _edge_plan_cached(n, index_bytes):
+    return EdgePlan(np.frombuffer(index_bytes, np.int64).reshape(n, 2))
 
 
 def _edge_plan(indices, edge_probs, E, sort_by):
@@ -222,7 +248,7 @@ def sparse_log_likelihood(init, indices, edge_probs, E, analytic_vjp=True):
     residuals).
     """
     if analytic_vjp:
-        return _sparse_loglik_fast(EdgePlan(indices), init, edge_probs, E)
+        return _sparse_loglik_fast(EdgePlan.cached(indices), init, edge_probs, E)
     return _sparse_loglik_taped(init, indices, edge_probs, E)
 
 
@@ -259,7 +285,7 @@ def sparse_posterior(
     """
     if analytic_vjp:
         return _sparse_posterior_fast(
-            EdgePlan(indices), bool(no_loglik), init, edge_probs, E
+            EdgePlan.cached(indices), bool(no_loglik), init, edge_probs, E
         )
     return _sparse_posterior_taped(init, indices, edge_probs, E, no_loglik)
 

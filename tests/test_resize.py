@@ -243,3 +243,20 @@ class TestResizedConfigRoundTrip:
             {"transitions": tparams2, "emissions": [eparams2]}, _inputs()
         )
         assert np.all(np.isfinite(np.asarray(ll)))
+
+
+class TestResizeGuard:
+    def test_gene_pred_layer_raises_clearly(self):
+        from hmm_layer_tpu.models import (
+            SimpleGenePredEmissions,
+            SimpleGenePredTransitions,
+        )
+
+        layer = HMMLayer(
+            SimpleGenePredTransitions(),
+            SimpleGenePredEmissions(),
+            use_prior=False,
+        )
+        params = layer.init_params(jax.random.PRNGKey(0), input_dim=7)
+        with pytest.raises(NotImplementedError, match="profile-family"):
+            layer.resize(params, [8], RKEY)

@@ -407,3 +407,19 @@ def test_unroll_knob_parity(monkeypatch):
     lg4, _ = sp.sparse_posterior(init, indices, probs, E)
     np.testing.assert_allclose(ll0, ll4, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(lg0), np.asarray(lg4), atol=1e-5)
+
+
+def test_edge_plan_cached_and_tracer_guard():
+    from hmm_layer_tpu.ops.sparse import EdgePlan
+
+    idx = np.array([[0, 0], [0, 1], [1, 1], [1, 0]])
+    p1 = EdgePlan.cached(idx)
+    p2 = EdgePlan.cached(np.array(idx, np.int32))
+    assert p1 is p2  # memoized on normalized index bytes
+    assert p1 == EdgePlan(idx)
+
+    def f(traced_idx):
+        return EdgePlan.cached(traced_idx)
+
+    with pytest.raises(TypeError, match="static"):
+        jax.jit(f)(jnp.asarray(idx))
