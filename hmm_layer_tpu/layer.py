@@ -59,7 +59,12 @@ class HMMLayer:
             requires ``L`` divisible by the seq-axis size) or
             ``{"batch": "data", "state": "state"}`` (500+-state models;
             requires ``q`` divisible by the state-axis size). ``"seq"``
-            and ``"state"`` are mutually exclusive.
+            and ``"state"`` are mutually exclusive. Sparse-forward
+            transitions compose with ``"batch"`` (data-parallel edge
+            scans) and ``"state"`` (edge-sharded state parallelism —
+            ``q`` auto-pads; capacity lever, see
+            ``parallel.sparse_sharding`` / docs/API.md), but not
+            ``"seq"``.
     """
 
     _LOGICAL_AXES = ("batch", "seq", "state")
@@ -285,14 +290,24 @@ class HMMLayer:
         no_loglik=False,
     ):
         """log P(s_t = q | x); (m, b, L, q)."""
-        if self._sparse_route():
-            from .ops import sparse
-
+        if self._sparse_route() or self._sparse_state_route():
             init, indices, probs = self._sparse_matrices(params)
-            E = self.emission_probs(params, inputs, end_hints, training)
-            lg, _ = sparse.sparse_posterior(
-                init, indices, probs, E, no_loglik=no_loglik
-            )
+            E = self._sparse_E(params, inputs, end_hints, training)
+            if self._sparse_state_route():
+                from .parallel import sparse_sharding
+
+                lg, _ = sparse_sharding.edge_sharded_posterior(
+                    init, indices, probs, E, self.mesh,
+                    state_axis=self.partition["state"],
+                    data_axis=self.partition.get("batch"),
+                    no_loglik=no_loglik,
+                )
+            else:
+                from .ops import sparse
+
+                lg, _ = sparse.sparse_posterior(
+                    init, indices, probs, E, no_loglik=no_loglik
+                )
             if return_prior:
                 return (
                     lg,
@@ -328,20 +343,51 @@ class HMMLayer:
                 )
             init, A = self.transitions.matrices(params["transitions"])
             return self._dispatch_log_likelihood(init, A, E)
-        if self._sparse_route():
+        if self._sparse_route() or self._sparse_state_route():
+            init, indices, probs = self._sparse_matrices(params)
+            E = self._sparse_E(params, inputs, end_hints, training)
+            if self._sparse_state_route():
+                from .parallel import sparse_sharding
+
+                return sparse_sharding.edge_sharded_log_likelihood(
+                    init, indices, probs, E, self.mesh,
+                    state_axis=self.partition["state"],
+                    data_axis=self.partition.get("batch"),
+                )
             from .ops import sparse
 
-            init, indices, probs = self._sparse_matrices(params)
-            E = self.emission_probs(params, inputs, end_hints, training)
             return sparse.sparse_log_likelihood(init, indices, probs, E)
         init, A, E = self._ingredients(params, inputs, end_hints, training)
         return self._dispatch_log_likelihood(init, A, E)
 
     def _sparse_route(self) -> bool:
+        """Single-device or data-parallel sparse edge-list routing."""
+        if not getattr(self.transitions, "sparse_forward", False):
+            return False
+        route = self._route()
+        if route == "seq":
+            raise NotImplementedError(
+                "sparse_forward does not compose with sequence sharding: "
+                "the cross-device boundary combine carries dense (q, q) "
+                "chunk summaries — O(q^2) memory/work per chunk, exactly "
+                "what the sparse engine exists to avoid at large q. Use "
+                "state (+batch) sharding for big-q models "
+                "(partition={'state': ..., 'batch': ...})."
+            )
+        return route in ("dense", "data")
+
+    def _sparse_state_route(self) -> bool:
+        """Edge-sharded state-parallel sparse routing (big-q TP analog)."""
         return (
             getattr(self.transitions, "sparse_forward", False)
-            and self._route() == "dense"
+            and self._route() == "state"
         )
+
+    def _sparse_E(self, params, inputs, end_hints, training):
+        E = self.emission_probs(params, inputs, end_hints, training)
+        if self._route() == "data":
+            E = self._constrain_data(E)
+        return E
 
     def _sparse_matrices(self, params):
         t = self.transitions
@@ -356,11 +402,19 @@ class HMMLayer:
         through every recursion entry point,
         ``MsaHMMLayer.py:98-151``) — hint-constrained MAP decoding.
         """
-        if self._sparse_route():
+        if self._sparse_route() or self._sparse_state_route():
+            init, indices, probs = self._sparse_matrices(params)
+            E = self._sparse_E(params, inputs, end_hints, False)
+            if self._sparse_state_route():
+                from .parallel import sparse_sharding
+
+                return sparse_sharding.edge_sharded_viterbi(
+                    init, indices, probs, E, self.mesh,
+                    state_axis=self.partition["state"],
+                    data_axis=self.partition.get("batch"),
+                )
             from .ops import sparse
 
-            init, indices, probs = self._sparse_matrices(params)
-            E = self.emission_probs(params, inputs, end_hints, False)
             return sparse.sparse_viterbi(init, indices, probs, E)
         init, A, E = self._ingredients(params, inputs, end_hints, False)
         return self._dispatch_viterbi(init, A, E)

@@ -1,5 +1,11 @@
 """Multi-device sharding: data / sequence / state parallelism over meshes."""
 
+from .sparse_sharding import (
+    ShardedEdgePlan,
+    edge_sharded_log_likelihood,
+    edge_sharded_posterior,
+    edge_sharded_viterbi,
+)
 from .sharding import (
     data_parallel_em_step,
     data_parallel_em_step_categorical,
@@ -30,4 +36,8 @@ __all__ = [
     "seq_sharded_log_likelihood",
     "seq_sharded_posterior",
     "seq_sharded_viterbi",
+    "ShardedEdgePlan",
+    "edge_sharded_log_likelihood",
+    "edge_sharded_posterior",
+    "edge_sharded_viterbi",
 ]

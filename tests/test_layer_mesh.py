@@ -338,3 +338,150 @@ class TestTrainerMeshIntegration:
         loss0 = float(np.asarray(layer.loss(params, x)))
         loss1 = float(np.asarray(layer.loss(p, x)))
         assert loss1 < loss0
+
+
+def _sparse_layers(partition, mesh, k=2):
+    """(dense-route, meshed) sparse layer pair sharing params: multi-copy
+    gene-pred grammar (q = 1 + 14k) + raw emitter."""
+    from hmm_layer_tpu.models import GenePredMultiTransitions
+
+    trans = GenePredMultiTransitions(k=k, sparse_forward=True)
+    q = trans.num_states
+    dense = HMMLayer(trans, IdentityEmitter(q), use_prior=False)
+    meshed = HMMLayer(
+        trans, IdentityEmitter(q), use_prior=False,
+        mesh=mesh, partition=partition,
+    )
+    params = dense.init_params(KEY, input_dim=q)
+    return dense, meshed, params, q
+
+
+class TestSparseDataParallelLayer:
+    """VERDICT round-4 item 1a: config-5 sparse training composed with
+    data parallelism through the flagship layer API."""
+
+    def test_loss_and_grad_parity(self):
+        mesh = sharding.make_mesh({"data": 8})
+        dense, meshed, params, q = _sparse_layers({"batch": "data"}, mesh)
+        x = _inputs(8, 40, q)
+        np.testing.assert_allclose(
+            np.asarray(jax.jit(meshed.loss)(params, x)),
+            np.asarray(jax.jit(dense.loss)(params, x)),
+            rtol=2e-5,
+        )
+        g_ref = jax.grad(lambda p: dense.loss(p, x))(params)
+        g_dp = jax.grad(lambda p: meshed.loss(p, x))(params)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_dp)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6
+            )
+
+    def test_trainer_sparse_dp_step(self):
+        mesh = sharding.make_mesh({"data": 4})
+        _, meshed, params, q = _sparse_layers({"batch": "data"}, mesh)
+        trainer = Trainer(meshed)
+        p0, opt = trainer.init(KEY, input_dim=q)
+        x = _inputs(4, 24, q)
+        p1, opt, loss = trainer.fit(p0, opt, [x] * 4, log_every=2)
+        assert np.isfinite(float(np.asarray(loss)))
+        assert float(np.asarray(meshed.loss(p1, x))) < float(
+            np.asarray(meshed.loss(p0, x))
+        )
+
+
+class TestSparseStateShardedLayer:
+    """VERDICT round-4 item 1b: edge-sharded state-parallel sparse engine
+    through the layer (q = 29 pads to 32 over 4 state shards)."""
+
+    def test_ll_posterior_viterbi_parity(self):
+        mesh = sharding.make_mesh({"data": 2, "state": 4})
+        dense, meshed, params, q = _sparse_layers(
+            {"batch": "data", "state": "state"}, mesh
+        )
+        x = _inputs(4, 40, q)
+        np.testing.assert_allclose(
+            np.asarray(meshed.log_likelihood(params, x)),
+            np.asarray(dense.log_likelihood(params, x)),
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(meshed.state_posterior_log_probs(params, x)),
+            np.asarray(dense.state_posterior_log_probs(params, x)),
+            atol=5e-5,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(meshed.viterbi(params, x)),
+            np.asarray(dense.viterbi(params, x)),
+        )
+
+    def test_loss_grads_parity(self):
+        """Grads through the sharded analytic Baum-Welch VJP (incl. the
+        cross-batch psum of ginit/g_edge on the data x state mesh)."""
+        mesh = sharding.make_mesh({"data": 2, "state": 4})
+        dense, meshed, params, q = _sparse_layers(
+            {"batch": "data", "state": "state"}, mesh
+        )
+        x = _inputs(4, 32, q)
+        g_ref = jax.grad(lambda p: dense.loss(p, x))(params)
+        g_st = jax.grad(lambda p: meshed.loss(p, x))(params)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_st)
+        ):
+            scale = np.abs(np.asarray(a)).max() + 1e-9
+            np.testing.assert_allclose(
+                np.asarray(b) / scale, np.asarray(a) / scale, atol=1e-4
+            )
+
+    def test_posterior_ce_grads_taped(self):
+        """Supervised CE through the taped edge-sharded posterior."""
+        mesh = sharding.make_mesh({"state": 8})
+        dense, meshed, params, q = _sparse_layers({"state": "state"}, mesh)
+        x = _inputs(3, 24, q)
+        rng = np.random.default_rng(0)
+        labels = jnp.asarray(rng.integers(0, q, size=(1, 3, 24)))
+        ref = jax.grad(
+            lambda p: dense.posterior_cross_entropy(p, x, labels)
+        )(params)
+        got = jax.grad(
+            lambda p: meshed.posterior_cross_entropy(p, x, labels)
+        )(params)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(ref), jax.tree_util.tree_leaves(got)
+        ):
+            scale = np.abs(np.asarray(a)).max() + 1e-9
+            np.testing.assert_allclose(
+                np.asarray(b) / scale, np.asarray(a) / scale, atol=1e-4
+            )
+
+    def test_trainer_sparse_state_sharded_step(self):
+        mesh = sharding.make_mesh({"data": 2, "state": 4})
+        _, meshed, params, q = _sparse_layers(
+            {"batch": "data", "state": "state"}, mesh
+        )
+        trainer = Trainer(meshed)
+        p0, opt = trainer.init(KEY, input_dim=q)
+        x = _inputs(4, 24, q)
+        p1, opt, loss = trainer.fit(p0, opt, [x] * 4, log_every=2)
+        assert np.isfinite(float(np.asarray(loss)))
+        assert float(np.asarray(meshed.loss(p1, x))) < float(
+            np.asarray(meshed.loss(p0, x))
+        )
+
+    def test_seq_plus_sparse_raises(self):
+        mesh = sharding.make_mesh({"seq": 8})
+        _, meshed, params, q = _sparse_layers({"seq": "seq"}, mesh)
+        with pytest.raises(NotImplementedError, match="state"):
+            meshed.log_likelihood(params, _inputs(2, 16, q))
+
+    def test_indivisible_q_pads(self):
+        """q=29 over 8 shards (q_pad=32, 3 dead states) stays exact."""
+        mesh = sharding.make_mesh({"state": 8})
+        dense, meshed, params, q = _sparse_layers({"state": "state"}, mesh)
+        x = _inputs(2, 20, q)
+        np.testing.assert_allclose(
+            np.asarray(meshed.log_likelihood(params, x)),
+            np.asarray(dense.log_likelihood(params, x)),
+            rtol=1e-5, atol=1e-5,
+        )
