@@ -422,7 +422,21 @@ class HMMLayer:
     def sample_paths(
         self, params, inputs, key, num_samples: int = 1, end_hints=None
     ):
-        """Exact posterior path samples; (m, b, num_samples, L) int32."""
+        """Exact posterior path samples; (m, b, num_samples, L) int32.
+
+        Sparse-forward transitions route through the edge-list FFBS
+        (:func:`hmm_layer_tpu.ops.sparse.sparse_sample_paths` — sequential,
+        ``parallel_factor`` ignored; the hard never-sample-zero-probability
+        guarantee holds over the edge support).
+        """
+        if self._sparse_route():
+            from .ops import sparse
+
+            init, indices, probs = self._sparse_matrices(params)
+            E = self._sparse_E(params, inputs, end_hints, False)
+            return sparse.sparse_sample_paths(
+                init, indices, probs, E, key, num_samples
+            )
         self._require_dense("sample_paths")
         init, A, E = self._ingredients(params, inputs, end_hints, False)
         return sampling.sample_posterior(

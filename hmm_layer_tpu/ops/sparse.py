@@ -60,6 +60,9 @@ __all__ = [
     "sparse_log_likelihood",
     "sparse_posterior",
     "sparse_viterbi",
+    "sparse_sample_paths",
+    "sparse_expected_statistics",
+    "sparse_em_step",
 ]
 
 _NEG = -1e30
@@ -531,3 +534,131 @@ def _sparse_posterior_fast_bwd(plan, no_loglik, res, cts):
 _sparse_posterior_fast.defvjp(
     _sparse_posterior_fast_fwd, _sparse_posterior_fast_bwd
 )
+
+
+# ---------------------------------------------------------------------------
+# FFBS posterior path sampling over edge lists
+# ---------------------------------------------------------------------------
+
+# Hard mask for structurally-absent transitions (cf. ops/sampling.py _MASK:
+# sampling is gradient-free, so hard masks are safe — and necessary for the
+# "zero-probability transitions are never sampled" guarantee; the EPS clamps
+# of the recursions only soft-floor impossible entries).
+_SAMPLE_MASK = -1e30
+
+
+def sparse_sample_paths(init, indices, edge_probs, E, key, num_samples=1):
+    """Exact posterior path samples over the edge list; (m, b, S, L) int32.
+
+    Forward-filter backward-sample (the sequential FFBS of
+    ``ops.sampling.sample_posterior``) with the dense ``log A[:, s_{t+1}]``
+    column replaced by a per-step segment-max over the src-sorted edges
+    whose destination equals the sampled next state — at most one edge per
+    (src, dst) pair exists, so the max selects exactly that edge's
+    log-weight and every absent transition stays at the -1e30 mask (hard
+    guarantee: transitions outside the edge list, or with exactly zero
+    probability, are never sampled). Gumbel noise is generated per step
+    inside the scan (O(q) live, not O(L·q) — matters at config-5 q).
+    """
+    plan = EdgePlan.cached(indices)
+    la, _ = sparse_forward(init, indices, edge_probs, E)
+    m, b, L, q = E.shape
+    S = num_samples
+    src_s = jnp.asarray(plan.src_s)
+    dst_s = jnp.asarray(plan.dst_s)
+    w_s = edge_probs[:, plan.perm_s]  # (m, n) in src-sorted order
+    log_w = jnp.where(w_s > 0, jnp.log(_clamped(w_s)), _SAMPLE_MASK)
+
+    keys = jax.random.split(key, L)
+    g_last = jax.random.gumbel(keys[-1], (m, b, S, q), la.dtype)
+    s_last = jnp.argmax(la[:, :, -1][:, :, None, :] + g_last, axis=-1)
+    la_t = jnp.moveaxis(la, 2, 0)  # (L, m, b, q)
+
+    def _segmax(x):
+        out = jax.ops.segment_max(
+            jnp.moveaxis(x, -1, 0), src_s, num_segments=q,
+            indices_are_sorted=True,
+        )
+        return jnp.moveaxis(out, 0, -1)
+
+    def step(s_next, inp):
+        la_tm, key_t = inp
+        g = jax.random.gumbel(key_t, (m, b, S, q), la.dtype)
+        hit = dst_s[None, None, None, :] == s_next[..., None]  # (m,b,S,n)
+        contrib = jnp.where(hit, log_w[:, None, None, :], _SAMPLE_MASK)
+        w_col = jnp.maximum(_segmax(contrib), _SAMPLE_MASK)  # (m,b,S,q)
+        s = jnp.argmax(la_tm[:, :, None, :] + w_col + g, axis=-1)
+        return s, s
+
+    _, path = lax.scan(step, s_last, (la_t[:-1], keys[:-1]), reverse=True)
+    paths = jnp.concatenate([path, s_last[None]], axis=0)  # (L, m, b, S)
+    return jnp.moveaxis(paths, 0, -1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Baum-Welch EM over edge lists
+# ---------------------------------------------------------------------------
+
+
+def sparse_expected_statistics(init, indices, edge_probs, E):
+    """E-step statistics over the edge list.
+
+    Returns:
+        gamma: (m, b, L, q) posterior state probabilities (linear).
+        xi_edge: (m, n_edges) expected transition counts per edge, summed
+            over batch and time (caller edge order) — the edge-list form
+            of ``ops.em.expected_statistics``'s dense ``xi_sum``; its
+            accumulation is exactly the balanced-shift ``_edge_outer_sum``
+            the analytic loglik VJP uses.
+        loglik: (m, b).
+    """
+    plan = EdgePlan.cached(indices)
+    la, ll = sparse_forward(init, plan.indices, edge_probs, E)
+    lb = sparse_backward(plan.indices, edge_probs, E)
+    log_E = jnp.log(_clamped(E))
+    gamma = jnp.exp(la + lb - ll[..., None, None])
+
+    csh = jnp.max(la[:, :, :-1], axis=-1, keepdims=True)
+    W = jnp.exp(la[:, :, :-1] - csh)
+    U = jnp.exp(lb[:, :, 1:] + log_E[:, :, 1:] - ll[..., None, None] + csh)
+    xi_edge = edge_probs * _edge_outer_sum(plan, W, U)
+    return gamma, xi_edge, ll
+
+
+def sparse_em_step(init, indices, edge_probs, E, pseudocount: float = 0.0):
+    """One Baum-Welch update of the init distribution and edge probabilities.
+
+    ``new_init(i) ∝ sum_b gamma_0(i)``; ``new_w_e ∝ xi_edge(e)`` normalized
+    over each source state's out-edges (rows stay stochastic over the edge
+    support — the grammar cannot gain transitions, matching the dense
+    ``em_step``'s structure preservation). Edges with zero expected count
+    and zero pseudocount keep probability 0.
+
+    Returns:
+        (new_init (m, q), new_edge_probs (m, n), loglik (m, b)) — loglik is
+        the pre-update likelihood (monotone non-decreasing across steps).
+    """
+    plan = EdgePlan.cached(indices)
+    q = E.shape[-1]
+    gamma, xi_edge, ll = sparse_expected_statistics(
+        init, indices, edge_probs, E
+    )
+
+    init_counts = (jnp.sum(gamma[:, :, 0], axis=1) + pseudocount) * (init > 0)
+    new_init = init_counts / jnp.maximum(
+        jnp.sum(init_counts, axis=-1, keepdims=True), EPS
+    )
+
+    counts = xi_edge + pseudocount
+    counts_s = counts[:, plan.perm_s]  # src-sorted
+    row = jax.ops.segment_sum(
+        jnp.moveaxis(counts_s, -1, 0),
+        jnp.asarray(plan.src_s),
+        num_segments=q,
+        indices_are_sorted=True,
+    )  # (q, m)
+    row_per_edge = jnp.moveaxis(row, 0, -1)[:, jnp.asarray(plan.indices[:, 0])]
+    new_w = jnp.where(
+        row_per_edge > 0, counts / jnp.maximum(row_per_edge, EPS), edge_probs
+    )
+    return new_init, new_w, ll

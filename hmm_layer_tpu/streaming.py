@@ -43,6 +43,8 @@ __all__ = [
     "streaming_update",
     "streaming_log_likelihood",
     "streaming_filter_log_probs",
+    "sparse_streaming_init",
+    "sparse_streaming_update",
     "StreamingViterbiState",
     "streaming_viterbi_init",
     "streaming_viterbi_update",
@@ -123,6 +125,70 @@ def streaming_log_likelihood(state: StreamingForwardState) -> jax.Array:
 def streaming_filter_log_probs(state: StreamingForwardState) -> jax.Array:
     """Filtered state posterior ``log P(s_t | x_{1..t})``, shape (m, b, q)."""
     return state.log_filter
+
+
+# ---------------------------------------------------------------------------
+# Streaming forward filter over sparse edge lists (config-5 q regimes)
+# ---------------------------------------------------------------------------
+
+
+def _sparse_block_fold(alpha, log_lik, plan, edge_probs, E_block, q):
+    """Scaled sparse forward over a block from a normalized filter carry.
+
+    Every step applies transition-then-emission (the carry is the filter at
+    the previous position), so the caller handles the first-emission /
+    no-transition special case of stream start.
+    """
+    from .ops.sparse import _segsum
+
+    w = edge_probs[..., plan.perm_d][:, None, :]
+    Et = jnp.moveaxis(E_block, 2, 0)
+
+    def step(carry, e_t):
+        a, ll = carry
+        r = _segsum(a[..., plan.src_d] * w, plan.dst_d, q)
+        s = _clamped(e_t) * _clamped(r)
+        z = jnp.sum(s, axis=-1, keepdims=True)
+        return (s / z, ll + jnp.log(z[..., 0])), None
+
+    (a, ll), _ = lax.scan(step, (alpha, log_lik), Et)
+    return StreamingForwardState(jnp.log(a), ll)
+
+
+def sparse_streaming_init(
+    init, indices, edge_probs, E_block
+) -> StreamingForwardState:
+    """Start a stream with the edge-list engine (no dense ``A`` is ever
+    built — the only streaming route past the dense ``(q, q)`` wall at
+    config-5 state counts). Same state/type as :func:`streaming_init`;
+    blockwise loglik matches :func:`ops.sparse.sparse_log_likelihood` of
+    the concatenated blocks to fp tolerance."""
+    from .ops.sparse import EdgePlan
+
+    plan = EdgePlan.cached(indices)
+    m, b, Lb, q = E_block.shape
+    s0 = _clamped(E_block[:, :, 0]) * _clamped(init)[:, None, :]
+    z0 = jnp.sum(s0, axis=-1, keepdims=True)
+    alpha0, ll0 = s0 / z0, jnp.log(z0[..., 0])
+    if Lb == 1:
+        return StreamingForwardState(jnp.log(alpha0), ll0)
+    return _sparse_block_fold(
+        alpha0, ll0, plan, edge_probs, E_block[:, :, 1:], q
+    )
+
+
+def sparse_streaming_update(
+    state: StreamingForwardState, indices, edge_probs, E_block
+) -> StreamingForwardState:
+    """Consume the next block over the edge list; O(q) carried state."""
+    from .ops.sparse import EdgePlan
+
+    plan = EdgePlan.cached(indices)
+    q = E_block.shape[-1]
+    return _sparse_block_fold(
+        jnp.exp(state.log_filter), state.log_lik, plan, edge_probs,
+        E_block, q,
+    )
 
 
 # ---------------------------------------------------------------------------

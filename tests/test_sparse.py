@@ -423,3 +423,226 @@ def test_edge_plan_cached_and_tracer_guard():
 
     with pytest.raises(TypeError, match="static"):
         jax.jit(f)(jnp.asarray(idx))
+
+
+class TestSparseSampling:
+    """Edge-list FFBS (VERDICT round-4 item 4): exactness vs the sparse
+    posterior and the hard zero-probability guarantee."""
+
+    def _setup(self, k=1, b=1, L=8, seed=5):
+        trans = GenePredMultiTransitions(k=k)
+        params = trans.init_params(jax.random.fold_in(KEY, seed))
+        init = trans.make_initial_distribution(params)
+        indices, probs = trans.make_A_sparse(params)
+        rng = np.random.default_rng(seed)
+        E = _emissions(rng, 1, b, L, trans.num_states)
+        return trans, init, indices, probs, E
+
+    def test_marginals_match_posterior(self):
+        trans, init, indices, probs, E = self._setup()
+        S = 3000
+        paths = jax.jit(
+            lambda i, p, e, key: sparse.sparse_sample_paths(
+                i, indices, p, e, key, num_samples=S
+            )
+        )(init, probs, E, jax.random.PRNGKey(0))
+        q, L = trans.num_states, E.shape[2]
+        assert paths.shape == (1, 1, S, L)
+        emp = np.eye(q)[np.asarray(paths)].mean(axis=2)[0, 0]  # (L, q)
+        lg, _ = sparse.sparse_posterior(init, indices, probs, E)
+        np.testing.assert_allclose(
+            emp, np.exp(np.asarray(lg))[0, 0], atol=4.5 / np.sqrt(S)
+        )
+
+    def test_pair_frequencies_match_xi(self):
+        trans, init, indices, probs, E = self._setup(L=6)
+        _, xi_edge, _ = sparse.sparse_expected_statistics(
+            init, indices, probs, E
+        )
+        S = 3000
+        paths = np.asarray(
+            sparse.sparse_sample_paths(
+                init, indices, probs, E, jax.random.PRNGKey(1), num_samples=S
+            )
+        )[0, 0]
+        q = trans.num_states
+        counts = np.zeros((q, q))
+        for t in range(E.shape[2] - 1):
+            np.add.at(counts, (paths[:, t], paths[:, t + 1]), 1.0)
+        idx = np.asarray(indices)
+        np.testing.assert_allclose(
+            counts[idx[:, 0], idx[:, 1]] / S,
+            np.asarray(xi_edge)[0],
+            atol=5 * np.sqrt(E.shape[2] - 1) / np.sqrt(S),
+        )
+        # everything off the edge support has zero counts
+        off = np.ones((q, q), bool)
+        off[idx[:, 0], idx[:, 1]] = False
+        assert counts[off].sum() == 0.0
+
+    def test_never_samples_absent_or_zero_edges(self):
+        trans, init, indices, probs, E = self._setup(k=2, b=2, L=24)
+        # zero out one edge entirely: it must never be sampled
+        probs = np.asarray(probs).copy()
+        dead = 3
+        probs[:, dead] = 0.0
+        paths = np.asarray(
+            sparse.sparse_sample_paths(
+                init, indices, jnp.asarray(probs), E,
+                jax.random.PRNGKey(2), num_samples=64,
+            )
+        )
+        idx = np.asarray(indices)
+        edge_ok = np.zeros((trans.num_states, trans.num_states), bool)
+        edge_ok[idx[:, 0], idx[:, 1]] = True
+        edge_ok[idx[dead, 0], idx[dead, 1]] = False
+        pre = paths[..., :-1].ravel()
+        nxt = paths[..., 1:].ravel()
+        assert edge_ok[pre, nxt].all()
+
+    def test_layer_route(self):
+        from hmm_layer_tpu.layer import HMMLayer
+
+        trans = GenePredMultiTransitions(k=2, sparse_forward=True)
+        q = trans.num_states
+
+        class RawE:
+            def init_params(self, key, input_dim):
+                return {}
+
+            def emissions(self, p, x, end_hints=None, training=False):
+                return x
+
+            def prior_log_density(self, p):
+                return jnp.zeros((1,))
+
+            def aux_loss(self, p):
+                return jnp.zeros(())
+
+        layer = HMMLayer(trans, RawE(), use_prior=False)
+        params = layer.init_params(KEY, input_dim=q)
+        rng = np.random.default_rng(0)
+        x = _emissions(rng, 1, 2, 16, q)
+        paths = layer.sample_paths(params, x, jax.random.PRNGKey(3), 4)
+        assert paths.shape == (1, 2, 4, 16) and paths.dtype == jnp.int32
+        assert int(np.asarray(paths).max()) < q
+
+
+class TestSparseEM:
+    """Edge-list Baum-Welch (VERDICT round-4 item 4): parity with the
+    dense em_step on the same grammar, monotonicity, structure."""
+
+    def _setup(self, k=2, b=3, L=18, seed=7):
+        trans = GenePredMultiTransitions(k=k)
+        params = trans.init_params(jax.random.fold_in(KEY, seed))
+        init, A = trans.matrices(params)
+        indices, probs = trans.make_A_sparse(params)
+        rng = np.random.default_rng(seed)
+        E = _emissions(rng, 1, b, L, trans.num_states)
+        return init, A, indices, probs, E
+
+    def test_matches_dense_em_step(self):
+        from hmm_layer_tpu.ops import em
+
+        init, A, indices, probs, E = self._setup()
+        ini_d, A_d, ll_d = em.em_step(init, A, E)
+        ini_s, w_s, ll_s = sparse.sparse_em_step(init, indices, probs, E)
+        np.testing.assert_allclose(
+            np.asarray(ll_s), np.asarray(ll_d), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(ini_s), np.asarray(ini_d), rtol=1e-4, atol=1e-6
+        )
+        idx = np.asarray(indices)
+        np.testing.assert_allclose(
+            np.asarray(w_s)[0],
+            np.asarray(A_d)[0, idx[:, 0], idx[:, 1]],
+            rtol=1e-4, atol=1e-6,
+        )
+
+    def test_monotonic_and_stochastic(self):
+        init, A, indices, probs, E = self._setup(L=32)
+        lls = []
+        for _ in range(5):
+            init, probs, ll = sparse.sparse_em_step(init, indices, probs, E)
+            lls.append(float(np.asarray(ll).sum()))
+        assert all(b2 >= a2 - 1e-3 for a2, b2 in zip(lls, lls[1:])), lls
+        rows = np.asarray(indices)[:, 0]
+        sums = np.zeros(E.shape[-1])
+        np.add.at(sums, rows, np.asarray(probs)[0])
+        present = np.unique(rows)
+        np.testing.assert_allclose(sums[present], 1.0, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(init).sum(-1), 1.0, rtol=1e-5)
+
+    def test_zero_count_edges_stay_zero(self):
+        init, A, indices, probs, E = self._setup()
+        probs = np.asarray(probs).copy()
+        dead = 5
+        probs[:, dead] = 0.0
+        # renormalize the dead edge's source row over remaining out-edges
+        src = np.asarray(indices)[:, 0]
+        row = src == src[dead]
+        probs[:, row] /= probs[:, row].sum(-1, keepdims=True)
+        _, w_new, _ = sparse.sparse_em_step(
+            init, indices, jnp.asarray(probs), E
+        )
+        assert float(np.asarray(w_new)[0, dead]) == 0.0
+
+
+class TestSparseStreaming:
+    """Blockwise sparse filter == whole-sequence sparse loglik (the
+    streaming route past the dense (q, q) wall; VERDICT round-4 item 2)."""
+
+    def test_blockwise_matches_whole(self):
+        from hmm_layer_tpu import streaming
+
+        trans = GenePredMultiTransitions(k=2)
+        params = trans.init_params(KEY)
+        init = trans.make_initial_distribution(params)
+        indices, probs = trans.make_A_sparse(params)
+        rng = np.random.default_rng(3)
+        q = trans.num_states
+        E = _emissions(rng, 1, 2, 48, q)
+
+        ll_ref = sparse.sparse_log_likelihood(init, indices, probs, E)
+        la_ref, _ = sparse.sparse_forward(init, indices, probs, E)
+
+        state = streaming.sparse_streaming_init(
+            init, indices, probs, E[:, :, :16]
+        )
+        for s0 in (16, 32):
+            state = streaming.sparse_streaming_update(
+                state, indices, probs, E[:, :, s0:s0 + 16]
+            )
+        np.testing.assert_allclose(
+            np.asarray(streaming.streaming_log_likelihood(state)),
+            np.asarray(ll_ref),
+            rtol=1e-4,
+        )
+        # the carried filter equals the normalized last forward column
+        np.testing.assert_allclose(
+            np.asarray(streaming.streaming_filter_log_probs(state)),
+            np.asarray(la_ref[:, :, -1] - ll_ref[..., None]),
+            atol=1e-4,
+        )
+
+    def test_single_position_blocks(self):
+        from hmm_layer_tpu import streaming
+
+        trans = SimpleGenePredTransitions()
+        params = trans.init_params(KEY)
+        init = trans.make_initial_distribution(params)
+        indices, probs = trans.make_A_sparse(params)
+        rng = np.random.default_rng(4)
+        E = _emissions(rng, 1, 3, 6, trans.num_states)
+        ll_ref = sparse.sparse_log_likelihood(init, indices, probs, E)
+        state = streaming.sparse_streaming_init(
+            init, indices, probs, E[:, :, :1]
+        )
+        for t in range(1, 6):
+            state = streaming.sparse_streaming_update(
+                state, indices, probs, E[:, :, t:t + 1]
+            )
+        np.testing.assert_allclose(
+            np.asarray(state.log_lik), np.asarray(ll_ref), rtol=1e-4
+        )
