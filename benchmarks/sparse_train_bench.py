@@ -33,6 +33,12 @@ def main():
     ap.add_argument("--microbatch", type=int, default=None,
                     help="gradient accumulation chunk (unlocks CE at "
                          "b=64, which OOMs whole-batch)")
+    ap.add_argument("--backward-block", type=int, default=None,
+                    help="time-blocked recompute backward for the CE "
+                         "posterior adjoint (O(L/c) checkpoints instead "
+                         "of O(L*q) residuals; whole-batch b=64 route)")
+    ap.add_argument("--only", choices=["map", "ce"], default=None,
+                    help="run a single objective")
     args = ap.parse_args()
 
     import jax
@@ -67,7 +73,10 @@ def main():
 
     def ce_loss(kern, e, lab=None):
         probs = sparse_edge_softmax(indices, kern, q)[None]
-        lg, _ = sparse.sparse_posterior(init_dist, indices, probs, e)
+        lg, _ = sparse.sparse_posterior(
+            init_dist, indices, probs, e,
+            backward_block=args.backward_block,
+        )
         lab = labels if lab is None else lab
         return -jnp.mean(
             jnp.take_along_axis(lg, lab[..., None], axis=-1)
@@ -146,8 +155,15 @@ def main():
         flush=True,
     )
 
-    slope(map_loss, "MAP train step (sparse analytic VJP)")
-    slope(ce_loss, "posterior-CE train step (sparse analytic VJP)")
+    if args.only in (None, "map"):
+        slope(map_loss, "MAP train step (sparse analytic VJP)")
+    if args.only in (None, "ce"):
+        tag = (
+            f" blocked bwd c={args.backward_block}"
+            if args.backward_block
+            else ""
+        )
+        slope(ce_loss, f"posterior-CE train step (sparse analytic VJP{tag})")
 
 
 if __name__ == "__main__":

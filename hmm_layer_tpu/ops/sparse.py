@@ -63,6 +63,7 @@ __all__ = [
     "sparse_sample_paths",
     "sparse_expected_statistics",
     "sparse_em_step",
+    "set_sparse_posterior_block",
 ]
 
 _NEG = -1e30
@@ -277,16 +278,38 @@ def _sparse_loglik_taped(init, indices, edge_probs, E):
 
 
 def sparse_posterior(
-    init, indices, edge_probs, E, no_loglik: bool = False, analytic_vjp=True
+    init,
+    indices,
+    edge_probs,
+    E,
+    no_loglik: bool = False,
+    analytic_vjp=True,
+    backward_block: int | None = None,
 ):
     """Posterior state log-probabilities; (log_gamma, loglik).
 
     ``analytic_vjp=True`` (default) attaches the gamma-centered analytic
     adjoint (edge-list port of the dense engine's
     ``_posterior_analytic_vjp``; reverse-mode only); ``False`` tapes the
-    forward/backward scans.
+    forward/backward scans. ``backward_block`` (or the trace-time
+    :func:`set_sparse_posterior_block` global, env
+    ``HMM_SPARSE_POSTERIOR_BLOCK``) selects the time-blocked recompute
+    backward — same math, O(L/c) checkpoints instead of O(L·q) residuals
+    and block-local intermediates, for CE training at config-5 memory
+    scale; costs ~2 extra recursion scans per step.
     """
     if analytic_vjp:
+        block = backward_block if backward_block is not None else _POSTERIOR_BLOCK
+        if block:
+            L = E.shape[2]
+            if L % int(block):
+                raise ValueError(
+                    f"backward_block {block} must divide L={L}"
+                )
+            return _sparse_posterior_blocked(
+                EdgePlan.cached(indices), bool(no_loglik), int(block),
+                init, edge_probs, E,
+            )
         return _sparse_posterior_fast(
             EdgePlan.cached(indices), bool(no_loglik), init, edge_probs, E
         )
@@ -662,3 +685,283 @@ def sparse_em_step(init, indices, edge_probs, E, pseudocount: float = 0.0):
         row_per_edge > 0, counts / jnp.maximum(row_per_edge, EPS), edge_probs
     )
     return new_init, new_w, ll
+
+
+# ---------------------------------------------------------------------------
+# Time-blocked recompute backward for the posterior adjoint (memory mode)
+# ---------------------------------------------------------------------------
+#
+# The default posterior custom-VJP saves `la` and `lg` residuals and its
+# backward materializes ~a dozen O(m·b·L·q) intermediates at once — at
+# config-5 scale (q=505, L=10k) posterior-CE training OOMs at b=64
+# (33 G > 15.75 G HBM, BASELINE.md round 4). This variant applies the
+# gradient-checkpointing trick the dense chunked VJP plays with its C
+# residuals (ops/recursion.py): the forward saves only O(L/c) boundary
+# columns of the forward/backward variables; the backward runs two static
+# passes over time blocks — a forward pass solving the `chat` adjoint
+# recursion and a reverse pass solving `bhat` — recomputing la/lb WITHIN
+# each block from the checkpoints, so peak memory is the unavoidable
+# O(m·b·L·q) tensors (E, ct, gE) plus an O(m·b·c·q) working set. Cost: la
+# and lb are recomputed twice each (once per pass) — ~2 extra recursion
+# scans per step. Select with ``backward_block`` (or the
+# ``set_sparse_posterior_block`` trace-time global, env-seeded by
+# ``HMM_SPARSE_POSTERIOR_BLOCK``).
+
+_POSTERIOR_BLOCK = int(os.environ.get("HMM_SPARSE_POSTERIOR_BLOCK", "0")) or None
+
+
+def set_sparse_posterior_block(block):
+    """Set the default time-block size of the sparse posterior backward
+    (``None`` = unblocked fast path). Read at TRACE time, like
+    :func:`hmm_layer_tpu.ops.recursion.set_dp_precision`."""
+    global _POSTERIOR_BLOCK
+    prev = _POSTERIOR_BLOCK
+    _POSTERIOR_BLOCK = block
+    return prev
+
+
+def _blk_la(plan, w_d, init, E, k, c, la_ckpt):
+    """Recompute the log-forward column block k from its left checkpoint."""
+    q = E.shape[-1]
+    Et = jnp.moveaxis(E[:, :, k * c:(k + 1) * c], 2, 0)
+
+    def step(carry, e_t):
+        a, l = carry
+        r = _segsum(a[..., plan.src_d] * w_d, plan.dst_d, q)
+        s = _clamped(e_t) * _clamped(r)
+        z = jnp.sum(s, axis=-1, keepdims=True)
+        a2, l2 = s / z, l + jnp.log(z[..., 0])
+        return (a2, l2), jnp.log(a2) + l2[..., None]
+
+    if k == 0:
+        s0 = _clamped(Et[0]) * _clamped(init)[:, None, :]
+        z0 = jnp.sum(s0, axis=-1, keepdims=True)
+        a, l = s0 / z0, jnp.log(z0[..., 0])
+        la0 = (jnp.log(a) + l[..., None])[None]
+        if c == 1:
+            out = la0
+        else:
+            _, rest = lax.scan(step, (a, l), Et[1:])
+            out = jnp.concatenate([la0, rest], axis=0)
+    else:
+        prev = la_ckpt[:, :, k - 1]  # la at position k*c - 1
+        l = jax.nn.logsumexp(prev, axis=-1)
+        a = jnp.exp(prev - l[..., None])
+        _, out = lax.scan(step, (a, l), Et)
+    return jnp.moveaxis(out, 0, 2)  # (m, b, c, q)
+
+
+def _blk_lb(plan, w_s, E, k, c, nb, lb_ckpt):
+    """Recompute the log-backward column block k from its right checkpoint."""
+    m, b, L, q = E.shape
+
+    def step(carry, e_next):
+        beta, l = carry
+        r = _clamped(e_next) * beta
+        s = _clamped(_segsum(r[..., plan.dst_s] * w_s, plan.src_s, q))
+        z = jnp.max(s, axis=-1, keepdims=True)
+        b2, l2 = s / z, l + jnp.log(z[..., 0])
+        return (b2, l2), jnp.log(b2) + l2[..., None]
+
+    if k == nb - 1:
+        beta, l = jnp.ones((m, b, q), E.dtype), jnp.zeros((m, b), E.dtype)
+        lb_last = jnp.zeros((1, m, b, q), E.dtype)
+        if c == 1:
+            out = lb_last
+        else:
+            Et = jnp.moveaxis(E[:, :, k * c + 1:], 2, 0)
+            _, rest = lax.scan(step, (beta, l), Et, reverse=True)
+            out = jnp.concatenate([rest, lb_last], axis=0)
+    else:
+        nxt = lb_ckpt[:, :, k]  # lb at position (k+1)*c
+        l = jnp.max(nxt, axis=-1)
+        beta = jnp.exp(nxt - l[..., None])
+        Et = jnp.moveaxis(E[:, :, k * c + 1:(k + 1) * c + 1], 2, 0)
+        _, out = lax.scan(step, (beta, l), Et, reverse=True)
+    return jnp.moveaxis(out, 0, 2)  # (m, b, c, q)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _sparse_posterior_blocked(plan, no_loglik, block, init, edge_probs, E):
+    return _sparse_posterior_taped(
+        init, plan.indices, edge_probs, E, no_loglik
+    )
+
+
+def _sparse_posterior_blocked_fwd(plan, no_loglik, block, init, edge_probs, E):
+    la, ll = sparse_forward(init, plan.indices, edge_probs, E)
+    lb = sparse_backward(plan.indices, edge_probs, E)
+    lg = la + lb
+    if not no_loglik:
+        lg = lg - ll[..., None, None]
+    L, c = E.shape[2], block
+    la_ckpt = la[:, :, c - 1:L - 1:c]  # la at k*c-1, k = 1..nb-1
+    lb_ckpt = lb[:, :, c::c]           # lb at (k+1)*c, k = 0..nb-2
+    return (lg, ll), (init, edge_probs, E, ll, la_ckpt, lb_ckpt)
+
+
+def _sparse_posterior_blocked_bwd(plan, no_loglik, block, res, cts):
+    """Two-pass blocked form of ``_sparse_posterior_fast_bwd`` — same
+    gamma-centered math (see there and ops/recursion.py
+    ``_posterior_analytic_vjp`` for the derivation), restructured so only
+    block-local O(m·b·c·q) intermediates are live at a time."""
+    init, edge_probs, E, ll, la_ckpt, lb_ckpt = res
+    ct, ct_ll_direct = cts
+    m, b, L, q = E.shape
+    c = block
+    assert L % c == 0, f"backward_block {c} must divide L={L}"
+    nb = L // c
+    w_d = edge_probs[..., plan.perm_d][:, None, :]
+    w_s = edge_probs[..., plan.perm_s][:, None, :]
+    maskE = E >= EPS
+    log_E = jnp.log(_clamped(E))
+
+    sig = jnp.sum(ct, axis=-1)                  # (m, b, L)
+    sig_tot = jnp.sum(sig, axis=-1)             # (m, b)
+    ct_ll_eff = ct_ll_direct if no_loglik else ct_ll_direct - sig_tot
+    K = sig + ct_ll_direct[..., None]
+    if no_loglik:
+        K = K + sig_tot[..., None]
+    kappa = ct_ll_direct + (sig_tot if no_loglik else 0.0)
+
+    def blk(x, k):
+        return x[:, :, k * c:(k + 1) * c]
+
+    def proj(x, gam):
+        return x - gam * jnp.sum(x, axis=-1, keepdims=True)
+
+    # ---- pass A (forward over blocks): chat adjoint + its contributions ----
+    chat_raw = jnp.zeros((m, b, q), E.dtype)      # chat at k*c - 1
+    chat_prev_proj = jnp.zeros((m, b, q), E.dtype)
+    lb_prev = jnp.zeros((m, b, q), E.dtype)
+    g_edge2 = jnp.zeros((m, plan.n), E.dtype)
+    gE_A_blocks = []
+    for k in range(nb):
+        la_b = _blk_la(plan, w_d, init, E, k, c, la_ckpt)
+        lb_b = _blk_lb(plan, w_s, E, k, c, nb, lb_ckpt)
+        lE_b = blk(log_E, k)
+        gam_b = jnp.exp(la_b + lb_b - ll[..., None, None])
+        src_c_b = blk(ct, k) - gam_b * blk(sig[..., None], k)
+        elb_b = lE_b + lb_b
+        sp_b = jnp.max(elb_b, axis=-1, keepdims=True)
+        gp_b = jnp.exp(elb_b - sp_b)
+        # fp[t] = exp(sp[t] - lb[t-1]); t = k*c uses the carry (0 for k=0)
+        lb_shift = jnp.concatenate(
+            [lb_prev[:, :, None], lb_b[:, :, :-1]], axis=2
+        )
+        fp_b = jnp.exp(sp_b - lb_shift)
+        if k == 0:
+            fp_b = fp_b.at[:, :, 0].set(0.0)
+
+        def astep(x_prev, inp):
+            gp_t, fp_t, c_t = inp
+            x_t = c_t + gp_t * plan.matvec(
+                edge_probs, fp_t * x_prev, q, transpose=True
+            )
+            return x_t, x_t
+
+        tm = lambda x: jnp.moveaxis(x, 2, 0)
+        chat_raw, chat_b = lax.scan(
+            astep, chat_raw, (tm(gp_b), tm(fp_b), tm(src_c_b))
+        )
+        chat_b = jnp.moveaxis(chat_b, 0, 2)
+        chat_pb = proj(chat_b, gam_b)
+        gE_A_blocks.append(
+            (gam_b * blk(K[..., None], k) + chat_pb - blk(ct, k))
+            / _clamped(blk(E, k)) * blk(maskE, k)
+        )
+        # g_edge term 2 pairs owned by this block: t in [k*c-1, k*c+c-2]
+        Fp_pair = jnp.concatenate(
+            [chat_prev_proj[:, :, None], chat_pb[:, :, :-1]], axis=2
+        ) * jnp.exp(sp_b - lb_shift)
+        Gp_pair = jnp.exp(elb_b - sp_b)
+        if k == 0:  # no pair at t = -1
+            Fp_pair = Fp_pair[:, :, 1:]
+            Gp_pair = Gp_pair[:, :, 1:]
+        g_edge2 = g_edge2 + _edge_outer_sum(plan, Fp_pair, Gp_pair)
+        chat_prev_proj = chat_pb[:, :, -1]
+        lb_prev = lb_b[:, :, -1]
+
+    # ---- pass B (reverse over blocks): bhat adjoint + its contributions ----
+    bhat_raw = jnp.zeros((m, b, q), E.dtype)      # bhat at (k+1)*c
+    bhat_next_proj = jnp.zeros((m, b, q), E.dtype)
+    la_next = jnp.zeros((m, b, q), E.dtype)
+    lb_next = jnp.zeros((m, b, q), E.dtype)
+    lE_next = jnp.zeros((m, b, q), E.dtype)
+    g_edge1 = jnp.zeros((m, plan.n), E.dtype)
+    gE_B_blocks = [None] * nb
+    ginit = None
+    for k in range(nb - 1, -1, -1):
+        la_b = _blk_la(plan, w_d, init, E, k, c, la_ckpt)
+        lb_b = _blk_lb(plan, w_s, E, k, c, nb, lb_ckpt)
+        lE_b = blk(log_E, k)
+        gam_b = jnp.exp(la_b + lb_b - ll[..., None, None])
+        src_c_b = blk(ct, k) - gam_b * blk(sig[..., None], k)
+        s_b = jnp.max(la_b, axis=-1, keepdims=True)
+        f_b = jnp.exp(la_b - s_b)
+        # gbar[t] = exp(logE[t+1] + s[t] - la[t+1]); t = (k+1)c-1 uses carry
+        la_shift = jnp.concatenate(
+            [la_b[:, :, 1:], la_next[:, :, None]], axis=2
+        )
+        lE_shift = jnp.concatenate(
+            [lE_b[:, :, 1:], lE_next[:, :, None]], axis=2
+        )
+        gbar_b = jnp.exp(lE_shift + s_b - la_shift)
+        if k == nb - 1:
+            gbar_b = gbar_b.at[:, :, -1].set(0.0)
+
+        def bstep(x_next, inp):
+            f_t, gbar_t, c_t = inp
+            x_t = c_t + f_t * plan.matvec(
+                edge_probs, gbar_t * x_next, q, transpose=False
+            )
+            return x_t, x_t
+
+        tm = lambda x: jnp.moveaxis(x, 2, 0)
+        bhat_raw, bhat_b = lax.scan(
+            bstep, bhat_raw, (tm(f_b), tm(gbar_b), tm(src_c_b)),
+            reverse=True,
+        )
+        bhat_b = jnp.moveaxis(bhat_b, 0, 2)
+        bhat_pb = proj(bhat_b, gam_b)
+        gE_B_blocks[k] = bhat_pb / _clamped(blk(E, k)) * blk(maskE, k)
+        # g_edge term 1 pairs owned by this block: t in [k*c, (k+1)c-1]
+        # (the t = (k+1)c-1 pair pulls position (k+1)c from the carries;
+        # for the last block that pair does not exist)
+        csh_b = s_b  # max over q of la[t]
+        F_pair = jnp.exp(la_b - csh_b)
+        lb_shift = jnp.concatenate(
+            [lb_b[:, :, 1:], lb_next[:, :, None]], axis=2
+        )
+        bh_shift = jnp.concatenate(
+            [bhat_pb[:, :, 1:], bhat_next_proj[:, :, None]], axis=2
+        )
+        xi_u_b = (
+            jnp.exp(lb_shift + lE_shift - ll[..., None, None] + csh_b)
+            * kappa[..., None, None]
+        )
+        G1_pair = xi_u_b + bh_shift * jnp.exp(lE_shift - la_shift + csh_b)
+        if k == nb - 1:  # no pair at t = L-1
+            F_pair = F_pair[:, :, :-1]
+            G1_pair = G1_pair[:, :, :-1]
+        g_edge1 = g_edge1 + _edge_outer_sum(plan, F_pair, G1_pair)
+        bhat_next_proj = bhat_pb[:, :, 0]
+        la_next = la_b[:, :, 0]
+        lb_next = lb_b[:, :, 0]
+        lE_next = lE_b[:, :, 0]
+        if k == 0:
+            R0 = sig_tot + ct_ll_eff
+            bar0 = gam_b[:, :, 0] * R0[..., None] + bhat_pb[:, :, 0]
+            ginit = (
+                jnp.sum(bar0, axis=1) / _clamped(init) * (init >= EPS)
+            )
+
+    gE = jnp.concatenate(gE_A_blocks, axis=2) + jnp.concatenate(
+        gE_B_blocks, axis=2
+    )
+    return ginit, g_edge1 + g_edge2, gE
+
+
+_sparse_posterior_blocked.defvjp(
+    _sparse_posterior_blocked_fwd, _sparse_posterior_blocked_bwd
+)

@@ -646,3 +646,69 @@ class TestSparseStreaming:
         np.testing.assert_allclose(
             np.asarray(state.log_lik), np.asarray(ll_ref), rtol=1e-4
         )
+
+
+class TestBlockedPosteriorBackward:
+    """Time-blocked recompute backward (VERDICT round-4 item 3): same
+    gamma-centered math as the fast adjoint, O(L/c) checkpoints instead of
+    O(L·q) residuals."""
+
+    def _setup(self, b=3, L=48, seed=9):
+        trans = GenePredMultiTransitions(k=2)
+        params = trans.init_params(jax.random.fold_in(KEY, seed))
+        init = trans.make_initial_distribution(params)
+        indices, probs = trans.make_A_sparse(params)
+        rng = np.random.default_rng(seed)
+        E = _emissions(rng, 1, b, L, trans.num_states)
+        labels = rng.integers(0, trans.num_states, size=(1, b, L))
+        return init, indices, probs, E, jnp.asarray(labels)
+
+    @pytest.mark.parametrize(
+        "L,block,no_loglik",
+        [(48, 12, False), (48, 12, True), (48, 48, False), (64, 8, False)],
+    )
+    def test_grads_match_fast_path(self, L, block, no_loglik):
+        init, indices, probs, E, labels = self._setup(L=L)
+
+        def ce(pr, ini, e, blk):
+            lg, ll = sparse.sparse_posterior(
+                ini, indices, pr, e, no_loglik=no_loglik, backward_block=blk
+            )
+            return -jnp.mean(
+                jnp.take_along_axis(lg, labels[..., None], -1)
+            ) + 0.3 * jnp.mean(ll)
+
+        v1, g1 = jax.value_and_grad(
+            lambda *a: ce(*a, None), argnums=(0, 1, 2)
+        )(probs, init, E)
+        v2, g2 = jax.value_and_grad(
+            lambda *a: ce(*a, block), argnums=(0, 1, 2)
+        )(probs, init, E)
+        assert float(v1) == float(v2)  # identical primal
+        for a, b2 in zip(g1, g2):
+            scale = np.abs(np.asarray(a)).max() + 1e-9
+            np.testing.assert_allclose(
+                np.asarray(b2) / scale, np.asarray(a) / scale, atol=5e-5
+            )
+
+    def test_indivisible_block_raises(self):
+        init, indices, probs, E, labels = self._setup(L=48)
+        with pytest.raises(ValueError, match="divide"):
+            sparse.sparse_posterior(
+                init, indices, probs, E, backward_block=13
+            )
+
+    def test_global_knob(self):
+        init, indices, probs, E, labels = self._setup(L=24)
+        prev = sparse.set_sparse_posterior_block(12)
+        try:
+            def ce(pr):
+                lg, _ = sparse.sparse_posterior(init, indices, pr, E)
+                return -jnp.mean(
+                    jnp.take_along_axis(lg, labels[..., None], -1)
+                )
+
+            g = jax.grad(ce)(probs)
+            assert np.all(np.isfinite(np.asarray(g)))
+        finally:
+            sparse.set_sparse_posterior_block(prev)
