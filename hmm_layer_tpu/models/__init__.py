@@ -33,7 +33,12 @@ from .profile_transitions import (
     get_num_states_implicit,
 )
 from .profile_adapt import adapt_profile_layer, match_statistics, propose_keep
-from .simulate import SimulatedGenome, sample_hmm_sequences, simulate_genome
+from .simulate import (
+    SimulatedGenome,
+    sample_hmm_sequences,
+    simulate_embeddings,
+    simulate_genome,
+)
 
 __all__ = [
     "AMINO_ALPHABET",
@@ -69,6 +74,7 @@ __all__ = [
     "read_gff3",
     "sample_hmm_sequences",
     "simulate_genome",
+    "simulate_embeddings",
     "write_gff3",
     "write_msa",
 ]

@@ -193,6 +193,19 @@ class SimpleGenePredEmissions:
             flat = embedding_inputs.reshape(1, -1, self.embedding_dim)
             log_pdf = self.mvn.log_pdf(params["embedding_emission_kernel"], flat)
             log_pdf = log_pdf.reshape(emit.shape)
+            # Per-position max-shift before exponentiation: posterior
+            # marginals, Viterbi paths and the posterior-CE objective are
+            # invariant to any per-position positive rescaling of E (the
+            # scale cancels against the loglik normalization), and the raw
+            # density overflows f32 once a trained component sharpens
+            # (log_pdf > 88·temperature at its mean — observed as NaN
+            # losses after ~20 CE steps). Raw-loglik consumers see a
+            # shifted value; every gene-pred training/decode path is
+            # shift-invariant. The reference exponentiates unshifted
+            # (gene_pred_hmm_emitter.py:101-112) and inherits the overflow.
+            log_pdf = log_pdf - lax.stop_gradient(
+                jnp.max(log_pdf, axis=-1, keepdims=True)
+            )
             embedding_emit = jnp.exp(log_pdf / self.temperature)
             if training:
                 emit = emit + 1e-10

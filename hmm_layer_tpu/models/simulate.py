@@ -26,7 +26,55 @@ import numpy as np
 
 from .annotation import GeneFeature, flip_genes, genes_to_states
 
-__all__ = ["sample_hmm_sequences", "simulate_genome", "SimulatedGenome"]
+__all__ = [
+    "sample_hmm_sequences",
+    "simulate_genome",
+    "simulate_embeddings",
+    "SimulatedGenome",
+]
+
+
+def simulate_embeddings(
+    rng,
+    track,
+    dim: int = 8,
+    separation: float = 3.0,
+    spread: float = 1.0,
+    num_classes: int = 15,
+    means=None,
+):
+    """Per-position embedding vectors from a planted per-class Gaussian.
+
+    The Tiberius-style ``emit_embeddings`` mode
+    (``/root/reference/hmm_layer/gene_pred_hmm_emitter.py:101-112``) scores
+    upstream-network embedding vectors with a trainable MVN mixture per
+    state; proving it needs data whose embeddings carry class signal by
+    construction. Class ``k``'s embeddings are drawn
+    ``N(mu_k, spread² I)`` with the ``mu_k`` isotropic random directions
+    of norm ``separation`` — the ratio ``separation/spread`` sets how
+    informative the embedding channel is (Bayes error falls with it).
+
+    Args:
+        rng: ``np.random.Generator``.
+        track: ``(L,)`` int per-position class labels (e.g.
+            :func:`~hmm_layer_tpu.models.annotation.genes_to_states`).
+        means: optional fixed ``(num_classes, dim)`` means — pass the
+            training draw's means when generating held-out data.
+
+    Returns:
+        (embeddings ``(L, dim)`` float32, means ``(num_classes, dim)``).
+    """
+    if means is None:
+        means = rng.normal(size=(num_classes, dim))
+        means = (
+            means
+            / np.linalg.norm(means, axis=-1, keepdims=True)
+            * separation
+        )
+    means = np.asarray(means, np.float32)
+    track = np.asarray(track)
+    emb = means[track] + spread * rng.normal(size=(len(track), dim))
+    return emb.astype(np.float32), means
 
 
 def sample_hmm_sequences(
