@@ -65,6 +65,15 @@ def build_parser() -> argparse.ArgumentParser:
                          "discarded and overloaded insertion sites become "
                          "new columns (param-preserving resize), then "
                          "training continues")
+    al.add_argument("--expand-threshold", type=float, default=None,
+                    help="insert load (residues/seq) above which an "
+                         "insertion site grows new match columns during "
+                         "adaptation. Default: auto — 1.0 for short "
+                         "models, 0.35 for model length >= 64 (at Pfam "
+                         "sizes missing columns spread their overflow "
+                         "over many sites and the small-model threshold "
+                         "stalls; measured on the Lm=100 LG benchmark, "
+                         "75->99 vs 75->82 stalled)")
     al.add_argument("--precision", choices=("high", "highest"),
                     default="high",
                     help="DP-einsum precision. Profile training defaults "
@@ -236,8 +245,12 @@ def _align(args) -> int:
                 params, opt_state, batches=batches(phase)
             )
             x_all = np.broadcast_to(full[None], (m,) + full.shape)
+            expand = args.expand_threshold
+            if expand is None:
+                expand = 0.35 if max(layer.transitions.lengths) >= 64 else 1.0
             layer, params, info = adapt_profile_layer(
-                layer, params, x_all, jax.random.PRNGKey(args.seed + 1 + r)
+                layer, params, x_all, jax.random.PRNGKey(args.seed + 1 + r),
+                expand_threshold=expand,
             )
             lengths = layer.transitions.lengths
             print(
