@@ -57,9 +57,15 @@ def main():
         ok = proc.returncode == 0 and "MXU_OK" in proc.stdout
         if ok:
             print(
-                f"MXU-in-Pallas COMPILES and matches interpret parity "
-                f"({time.time() - t0:.0f}s) — benchmark ops/pallas_mxu.py "
-                f"vs the XLA chunked path now"
+                f"MXU-in-Pallas COMPILES ({time.time() - t0:.0f}s). "
+                "NOTE: the toolchain fix landed 2026-08-20 and the staged "
+                "summary kernel was benchmarked the same day — MEASURED "
+                "NEGATIVE at every supported q (0.11-0.61x the XLA "
+                "chunked path; BASELINE.md round 5). The eb-element grid "
+                "serializes ~32k small matmul dispatches where XLA "
+                "batches each timestep into one einsum, and the roofline "
+                "of an ideal all-rows-per-step formulation only TIES "
+                "XLA. Don't re-enable without that redesign."
             )
         else:
             print(

@@ -573,22 +573,41 @@ class HMMLayer:
         Returns:
           scalar loss: mean CE − scaled prior (if ``use_prior``) + aux.
         """
-        lg = self.state_posterior_log_probs(
-            params,
-            inputs,
-            end_hints=end_hints,
-            training=training,
-            no_loglik=no_loglik,
-        )
-        labels = jnp.asarray(labels)
-        if labels.ndim == lg.ndim - 2:
-            labels = jnp.broadcast_to(labels[None], lg.shape[:-1])
-        ce = -jnp.take_along_axis(lg, labels[..., None], axis=-1)[..., 0]
-        if label_mask is not None:
-            mask = jnp.broadcast_to(jnp.asarray(label_mask, ce.dtype), ce.shape)
-            ce_mean = jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+        if self._sparse_route():
+            # Fused objective: the (m, b, L, q) posterior and its cotangent
+            # are never materialized (the CE cotangent is a scaled one-hot
+            # of the labels) — the memory-scalable route for supervised
+            # training at config-5 state counts. Exact vs the unfused
+            # path (tests/test_sparse.py::TestFusedPosteriorCE).
+            from .ops import sparse
+
+            init, indices, probs = self._sparse_matrices(params)
+            E = self._sparse_E(params, inputs, end_hints, training)
+            ce_mean = sparse.sparse_posterior_cross_entropy(
+                init, indices, probs, E, labels,
+                label_mask=label_mask, no_loglik=no_loglik,
+            )
         else:
-            ce_mean = jnp.mean(ce)
+            lg = self.state_posterior_log_probs(
+                params,
+                inputs,
+                end_hints=end_hints,
+                training=training,
+                no_loglik=no_loglik,
+            )
+            labels = jnp.asarray(labels)
+            if labels.ndim == lg.ndim - 2:
+                labels = jnp.broadcast_to(labels[None], lg.shape[:-1])
+            ce = -jnp.take_along_axis(lg, labels[..., None], axis=-1)[..., 0]
+            if label_mask is not None:
+                mask = jnp.broadcast_to(
+                    jnp.asarray(label_mask, ce.dtype), ce.shape
+                )
+                ce_mean = jnp.sum(ce * mask) / jnp.maximum(
+                    jnp.sum(mask), 1.0
+                )
+            else:
+                ce_mean = jnp.mean(ce)
         loss = ce_mean
         if self.use_prior:
             loss = loss - jnp.mean(self.compute_prior(params))

@@ -1,11 +1,21 @@
-"""MXU-ready Pallas summary kernel (flag-gated, dormant on current axon).
+"""MXU Pallas summary kernel — MEASURED NEGATIVE, kept as the record.
 
-MXU matmuls inside Pallas kernels HANG through the axon toolchain (even a
-minimal 128x128 ``jnp.dot`` pallas_call never returns from compile — see
-CLAUDE.md), so the shipping kernels are VPU-only. This module stages the
-MXU formulation of the sum-product chunk-summary scan so the ~2x win lands
-the day the toolchain fix does: set ``HMM_PALLAS_MXU=1`` to enable the
-dispatch (``ops.recursion._chunk_summaries_dispatch``).
+Staged rounds 2-4 while MXU matmuls inside Pallas kernels hung the axon
+toolchain; the fix landed 2026-08-20 and the kernel was benchmarked the
+same day (BASELINE.md round 5): **0.11-0.61x the XLA chunked path at every
+supported q** (q=33: 15.4 vs 1.7 ms; q=127: 42 vs 21 ms; b=32, L=3069).
+Why it loses: the grid processes ``eb`` chunk elements per block, so the
+sequential TPU grid issues ~R/eb x c tiny (128, qp)x(qp, qp) matmuls
+(~32k dispatches at q=33) where the XLA scan batches each timestep into
+ONE (R·qb)-row einsum; and the roofline of the ideal all-rows-per-step
+formulation (~2 ms at q=33) only TIES XLA — there is no headroom. Two
+hardware-only findings the interpret tests could not catch: the in-kernel
+``dot_general`` defaulted to bf16 (loglik error 0.66 nats at q=33 —
+fixed, HIGHEST, the engine-wide DP-precision rule), and with HIGHEST the
+remaining parity gap is ordinary f32 accumulation-order noise (~6e-6
+relative). ``HMM_PALLAS_MXU=1`` still enables the dispatch
+(``ops.recursion._chunk_summaries_dispatch``) for re-measurement, but
+don't retry without the all-rows redesign.
 
 Layout (states on LANES — the transpose of the VPU kernels):
 
@@ -77,6 +87,7 @@ def _mxu_summary_kernel(
     ).astype(jnp.float32)
 
     def e_rows():
+        # One-hot selection: exact in any precision (rows are 0/1).
         return jax.lax.dot_general(
             onehot_el, e_ref[0, 0],
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -111,10 +122,14 @@ def _mxu_summary_kernel(
 
     @pl.when(t > 0)
     def _step():
+        # DP-recursion matmul: must be HIGHEST like every engine einsum
+        # (CLAUDE.md precision rule). First hardware run of this kernel
+        # measured |dll| = 0.66 nats at q=33 from the bf16 default.
         r = jax.lax.dot_general(
             M[:, :], A_ref[:, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         s = jnp.maximum(r, _EPS) * jnp.maximum(e_rows(), _EPS)
         LL[:, :] = LL[:, :] + rescale(s)

@@ -712,3 +712,97 @@ class TestBlockedPosteriorBackward:
             assert np.all(np.isfinite(np.asarray(g)))
         finally:
             sparse.set_sparse_posterior_block(prev)
+
+
+class TestFusedPosteriorCE:
+    """Fused sparse posterior cross-entropy: exact vs the unfused path,
+    without ever materializing the (m,b,L,q) posterior or its cotangent."""
+
+    def _setup(self, b=3, L=48, seed=11):
+        trans = GenePredMultiTransitions(k=2)
+        params = trans.init_params(jax.random.fold_in(KEY, seed))
+        init = trans.make_initial_distribution(params)
+        indices, probs = trans.make_A_sparse(params)
+        rng = np.random.default_rng(seed)
+        E = _emissions(rng, 1, b, L, trans.num_states)
+        labels = jnp.asarray(rng.integers(0, trans.num_states, (1, b, L)))
+        mask = jnp.asarray(
+            (rng.random((1, b, L)) > 0.3).astype(np.float32)
+        )
+        return init, indices, probs, E, labels, mask
+
+    @pytest.mark.parametrize(
+        "block,no_loglik,use_mask",
+        [(None, False, False), (12, False, True), (12, True, False)],
+    )
+    def test_matches_unfused(self, block, no_loglik, use_mask):
+        init, indices, probs, E, labels, mask = self._setup()
+        mask = mask if use_mask else None
+
+        def unfused(pr, ini, e):
+            lg, _ = sparse.sparse_posterior(
+                ini, indices, pr, e, no_loglik=no_loglik
+            )
+            ce = -jnp.take_along_axis(lg, labels[..., None], -1)[..., 0]
+            if mask is not None:
+                return jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+            return jnp.mean(ce)
+
+        def fused(pr, ini, e):
+            return sparse.sparse_posterior_cross_entropy(
+                ini, indices, pr, e, labels, label_mask=mask,
+                no_loglik=no_loglik, backward_block=block,
+            )
+
+        v1, g1 = jax.value_and_grad(unfused, argnums=(0, 1, 2))(
+            probs, init, E
+        )
+        v2, g2 = jax.value_and_grad(fused, argnums=(0, 1, 2))(probs, init, E)
+        assert abs(float(v1) - float(v2)) < 1e-6
+        for a, b2 in zip(g1, g2):
+            scale = np.abs(np.asarray(a)).max() + 1e-9
+            np.testing.assert_allclose(
+                np.asarray(b2) / scale, np.asarray(a) / scale, atol=5e-5
+            )
+
+    def test_layer_routes_sparse_ce(self):
+        from hmm_layer_tpu.layer import HMMLayer
+
+        trans = GenePredMultiTransitions(k=2, sparse_forward=True)
+        q = trans.num_states
+
+        class RawE:
+            def init_params(self, key, input_dim):
+                return {}
+
+            def emissions(self, p, x, end_hints=None, training=False):
+                return x
+
+            def prior_log_density(self, p):
+                return jnp.zeros((1,))
+
+            def aux_loss(self, p):
+                return jnp.zeros(())
+
+        sparse_layer = HMMLayer(trans, RawE(), use_prior=False)
+        dense_layer = HMMLayer(
+            GenePredMultiTransitions(k=2), RawE(), use_prior=False
+        )
+        params = sparse_layer.init_params(KEY, input_dim=q)
+        rng = np.random.default_rng(0)
+        x = _emissions(rng, 1, 2, 20, q)
+        labels = jnp.asarray(rng.integers(0, q, (1, 2, 20)))
+        v_s, g_s = jax.value_and_grad(
+            lambda p: sparse_layer.posterior_cross_entropy(p, x, labels)
+        )(params)
+        v_d, g_d = jax.value_and_grad(
+            lambda p: dense_layer.posterior_cross_entropy(p, x, labels)
+        )(params)
+        assert abs(float(v_s) - float(v_d)) < 1e-4
+        for a, b2 in zip(
+            jax.tree_util.tree_leaves(g_d), jax.tree_util.tree_leaves(g_s)
+        ):
+            scale = np.abs(np.asarray(a)).max() + 1e-9
+            np.testing.assert_allclose(
+                np.asarray(b2) / scale, np.asarray(a) / scale, atol=1e-4
+            )
