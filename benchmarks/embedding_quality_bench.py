@@ -12,11 +12,13 @@ of the MVN emitter, held-out both-strand Viterbi decode, F1 vs truth.
 Run: python benchmarks/embedding_quality_bench.py
 """
 
+import os
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
-sys.path.insert(0, __file__.rsplit("/", 2)[0] + "/tests")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
 
 
 def main():

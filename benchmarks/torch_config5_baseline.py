@@ -28,7 +28,8 @@ import time
 import numpy as np
 import torch
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 K, L, B = 36, 10_000, 1
 EPS = 1e-16

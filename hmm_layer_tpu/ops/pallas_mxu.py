@@ -11,9 +11,9 @@ ONE (R·qb)-row einsum; and the roofline of the ideal all-rows-per-step
 formulation (~2 ms at q=33) only TIES XLA — there is no headroom. Two
 hardware-only findings the interpret tests could not catch: the in-kernel
 ``dot_general`` defaulted to bf16 (loglik error 0.66 nats at q=33 —
-fixed, HIGHEST, the engine-wide DP-precision rule), and with HIGHEST the
-remaining parity gap is ordinary f32 accumulation-order noise (~6e-6
-relative). ``HMM_PALLAS_MXU=1`` still enables the dispatch
+fixed, HIGHEST, the engine-wide DP-precision rule), and the residual
+parity gap after fixing the step matmul traced to the SAME default in the
+one-hot emission/init selections (now all HIGHEST). ``HMM_PALLAS_MXU=1`` still enables the dispatch
 (``ops.recursion._chunk_summaries_dispatch``) for re-measurement, but
 don't retry without the all-rows redesign.
 
@@ -87,11 +87,14 @@ def _mxu_summary_kernel(
     ).astype(jnp.float32)
 
     def e_rows():
-        # One-hot selection: exact in any precision (rows are 0/1).
+        # One-hot SELECTION is structurally exact, but the MXU rounds the
+        # OTHER operand (the emissions) to bf16 under default precision —
+        # the engine-wide HIGHEST rule applies to every device einsum.
         return jax.lax.dot_general(
             onehot_el, e_ref[0, 0],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (rows, qp): e[k] broadcast over the border rows of each element
 
     def rescale(s):
@@ -115,6 +118,7 @@ def _mxu_summary_kernel(
             onehot_i, Av_ref[:, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         R0 = is_first * eye_rows + (1.0 - is_first) * a_rows
         s = jnp.maximum(R0, 0.0) * jnp.maximum(e_rows(), _EPS)

@@ -182,6 +182,51 @@ def _segsum(contrib, seg_ids, q):
     return jnp.moveaxis(out, 0, -1)
 
 
+def _scaled_fwd_step(w, gather_idx, seg_idx, q, emit_log: bool):
+    """THE sum-normalized sparse forward step — single source for
+    :func:`sparse_forward`, the taped loglik, the blocked-adjoint
+    recompute (:func:`_blk_la`) and the streaming fold. The blocked
+    backward's checkpoint reconstruction and the streaming filter are
+    exact ONLY because their recompute is this same function (clamp
+    placement and the sum normalizer must match bit-for-bit); do not
+    re-implement the body elsewhere."""
+
+    def step(carry, e_t):
+        alpha, ll = carry
+        r = _segsum(alpha[..., gather_idx] * w, seg_idx, q)
+        s = _clamped(e_t) * _clamped(r)
+        z = jnp.sum(s, axis=-1, keepdims=True)
+        alpha_new = s / z
+        ll_new = ll + jnp.log(z[..., 0])
+        out = (
+            jnp.log(alpha_new) + ll_new[..., None] if emit_log else None
+        )
+        return (alpha_new, ll_new), out
+
+    return step
+
+
+def _scaled_bwd_step(w, gather_idx, seg_idx, q, emit_log: bool):
+    """THE max-normalized sparse backward step — single source for
+    :func:`sparse_backward` and the blocked-adjoint recompute
+    (:func:`_blk_lb`); same single-sourcing contract as
+    :func:`_scaled_fwd_step`."""
+
+    def step(carry, e_next):
+        beta, ll = carry
+        r = _clamped(e_next) * beta
+        s = _clamped(_segsum(r[..., gather_idx] * w, seg_idx, q))
+        z = jnp.max(s, axis=-1, keepdims=True)
+        beta_new = s / z
+        ll_new = ll + jnp.log(z[..., 0])
+        out = (
+            jnp.log(beta_new) + ll_new[..., None] if emit_log else None
+        )
+        return (beta_new, ll_new), out
+
+    return step
+
+
 def sparse_forward(init, indices, edge_probs, E):
     """Scaled sequential forward with a sparse transition operator.
 
@@ -204,15 +249,7 @@ def sparse_forward(init, indices, edge_probs, E):
     z0 = jnp.sum(s0, axis=-1, keepdims=True)
     alpha0, ll0 = s0 / z0, jnp.log(z0[..., 0])
 
-    def step(carry, e_t):
-        alpha, ll = carry
-        r = _segsum(alpha[..., src] * w, dst, q)
-        s = _clamped(e_t) * _clamped(r)
-        z = jnp.sum(s, axis=-1, keepdims=True)
-        alpha_new = s / z
-        ll_new = ll + jnp.log(z[..., 0])
-        return (alpha_new, ll_new), jnp.log(alpha_new) + ll_new[..., None]
-
+    step = _scaled_fwd_step(w, src, dst, q, emit_log=True)
     (_, ll), outs = lax.scan(step, (alpha0, ll0), Et[1:], unroll=_UNROLL)
     log_alpha0 = jnp.log(alpha0) + ll0[..., None]
     log_alpha = jnp.concatenate([log_alpha0[None], outs], axis=0)
@@ -229,15 +266,7 @@ def sparse_backward(indices, edge_probs, E):
     beta_last = jnp.ones((m, b, q), E.dtype)
     ll_last = jnp.zeros((m, b), E.dtype)
 
-    def step(carry, e_next):
-        beta, ll = carry
-        r = _clamped(e_next) * beta
-        s = _clamped(_segsum(r[..., dst] * w, src, q))
-        z = jnp.max(s, axis=-1, keepdims=True)
-        beta_new = s / z
-        ll_new = ll + jnp.log(z[..., 0])
-        return (beta_new, ll_new), jnp.log(beta_new) + ll_new[..., None]
-
+    step = _scaled_bwd_step(w, dst, src, q, emit_log=True)
     _, outs = lax.scan(step, (beta_last, ll_last), Et[1:], reverse=True, unroll=_UNROLL)
     log_beta_last = jnp.zeros((1, m, b, q), E.dtype)
     log_beta = jnp.concatenate([outs, log_beta_last], axis=0)
@@ -267,13 +296,7 @@ def _sparse_loglik_taped(init, indices, edge_probs, E):
     z0 = jnp.sum(s0, axis=-1, keepdims=True)
     carry0 = (s0 / z0, jnp.log(z0[..., 0]))
 
-    def step(carry, e_t):
-        alpha, ll = carry
-        r = _segsum(alpha[..., src] * w, dst, q)
-        s = _clamped(e_t) * _clamped(r)
-        z = jnp.sum(s, axis=-1, keepdims=True)
-        return (s / z, ll + jnp.log(z[..., 0])), None
-
+    step = _scaled_fwd_step(w, src, dst, q, emit_log=False)
     (_, ll), _ = lax.scan(step, carry0, Et[1:], unroll=_UNROLL)
     return ll
 
@@ -299,6 +322,14 @@ def sparse_posterior(
     and block-local intermediates, for CE training at config-5 memory
     scale; costs ~2 extra recursion scans per step.
     """
+    if not analytic_vjp and backward_block is not None:
+        raise ValueError(
+            "backward_block requires analytic_vjp=True — the taped path "
+            "stores its own O(L·q) scan residuals and would silently "
+            "ignore the memory mode (the set_sparse_posterior_block "
+            "global only applies to the analytic path for the same "
+            "reason)"
+        )
     if analytic_vjp:
         block = backward_block if backward_block is not None else _POSTERIOR_BLOCK
         if block:
@@ -725,14 +756,7 @@ def _blk_la(plan, w_d, init, E, k, c, la_ckpt):
     """Recompute the log-forward column block k from its left checkpoint."""
     q = E.shape[-1]
     Et = jnp.moveaxis(E[:, :, k * c:(k + 1) * c], 2, 0)
-
-    def step(carry, e_t):
-        a, l = carry
-        r = _segsum(a[..., plan.src_d] * w_d, plan.dst_d, q)
-        s = _clamped(e_t) * _clamped(r)
-        z = jnp.sum(s, axis=-1, keepdims=True)
-        a2, l2 = s / z, l + jnp.log(z[..., 0])
-        return (a2, l2), jnp.log(a2) + l2[..., None]
+    step = _scaled_fwd_step(w_d, plan.src_d, plan.dst_d, q, emit_log=True)
 
     if k == 0:
         s0 = _clamped(Et[0]) * _clamped(init)[:, None, :]
@@ -755,14 +779,7 @@ def _blk_la(plan, w_d, init, E, k, c, la_ckpt):
 def _blk_lb(plan, w_s, E, k, c, nb, lb_ckpt):
     """Recompute the log-backward column block k from its right checkpoint."""
     m, b, L, q = E.shape
-
-    def step(carry, e_next):
-        beta, l = carry
-        r = _clamped(e_next) * beta
-        s = _clamped(_segsum(r[..., plan.dst_s] * w_s, plan.src_s, q))
-        z = jnp.max(s, axis=-1, keepdims=True)
-        b2, l2 = s / z, l + jnp.log(z[..., 0])
-        return (b2, l2), jnp.log(b2) + l2[..., None]
+    step = _scaled_bwd_step(w_s, plan.dst_s, plan.src_s, q, emit_log=True)
 
     if k == nb - 1:
         beta, l = jnp.ones((m, b, q), E.dtype), jnp.zeros((m, b), E.dtype)
@@ -1054,14 +1071,17 @@ def _sparse_ce_fused_fwd(plan, no_loglik, block, init, edge_probs, E, labels, w)
     L, c = E.shape[2], block
     la_ckpt = la[:, :, c - 1:L - 1:c]
     lb_ckpt = lb[:, :, c::c]
-    return ce, (init, edge_probs, E, ll, la_ckpt, lb_ckpt, labels, w)
+    # lg_lab/ce ride along for the label_mask gradient — O(m·b·L), no q.
+    return ce, (init, edge_probs, E, ll, la_ckpt, lb_ckpt, labels, w,
+                lg_lab, ce)
 
 
 def _sparse_ce_fused_bwd(plan, no_loglik, block, res, g):
-    init, edge_probs, E, ll, la_ckpt, lb_ckpt, labels, w = res
+    init, edge_probs, E, ll, la_ckpt, lb_ckpt, labels, w, lg_lab, ce = res
     m, b, L, q = E.shape
     c = block
-    scale = -g / jnp.maximum(jnp.sum(w), 1.0)
+    N = jnp.maximum(jnp.sum(w), 1.0)
+    scale = -g / N
     sig = w * scale  # per-position sum over q of the one-hot cotangent
 
     def ct_blk(k):
@@ -1074,7 +1094,11 @@ def _sparse_ce_fused_bwd(plan, no_loglik, block, res, g):
         ct_blk, sig, jnp.zeros(ll.shape, E.dtype),
     )
     f0 = np.zeros(labels.shape, jax.dtypes.float0)
-    return ginit, g_edge, gE, f0, jnp.zeros_like(w)
+    # d ce / d w_t = (-lg_lab_t - ce) / N  (quotient rule on -S/N); the
+    # mask is a real operand of the objective, so a soft/learned mask
+    # must receive its true gradient (the unfused path does).
+    g_w = g * (-lg_lab - ce) / N
+    return ginit, g_edge, gE, f0, g_w
 
 
 _sparse_ce_fused.defvjp(_sparse_ce_fused_fwd, _sparse_ce_fused_bwd)

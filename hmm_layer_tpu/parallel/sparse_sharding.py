@@ -143,6 +143,12 @@ class ShardedEdgePlan:
 
     @staticmethod
     def cached(indices, q: int, n_shards: int) -> "ShardedEdgePlan":
+        if isinstance(indices, jax.core.Tracer):
+            raise TypeError(
+                "sparse edge `indices` must be a static (numpy) array; "
+                "pass them from make_transition_indices()/make_A_sparse() "
+                "outside of jit"
+            )
         arr = np.asarray(indices, np.int64)
         return ShardedEdgePlan._cached(
             arr.shape[0], arr.tobytes(), int(q), int(n_shards)
@@ -528,7 +534,9 @@ def edge_sharded_viterbi(
             [jnp.asarray(fother, jnp.int32), jnp.zeros((1,), jnp.int32)]
         )
 
-        def segred(x, reducer, fill):
+        def segred(x, reducer):
+            # empty segments get the reducer's identity; the jnp.maximum/
+            # jnp.minimum after each call clamps them to the sentinels
             out = reducer(
                 jnp.moveaxis(x, -1, 0), fkey, num_segments=ql,
                 indices_are_sorted=True,
@@ -538,11 +546,11 @@ def edge_sharded_viterbi(
         def step(delta_l, e_t):
             delta_full = lax.all_gather(delta_l, state_axis, axis=2, tiled=True)
             contrib = delta_full[..., fother] + log_w  # (m, b, n_max)
-            best = segred(contrib, jax.ops.segment_max, _NEG)
+            best = segred(contrib, jax.ops.segment_max)
             best = jnp.maximum(best, _NEG)
             attained = (contrib >= best[..., fkey]) & (fmask[None, None, :] > 0)
             masked_ids = jnp.where(attained, edge_ids, fkey.shape[0])
-            win_edge = segred(masked_ids, jax.ops.segment_min, fkey.shape[0])
+            win_edge = segred(masked_ids, jax.ops.segment_min)
             bp = src_lookup[jnp.minimum(win_edge, fkey.shape[0])]
             new_delta = jnp.where(real, best + e_t, _NEG)
             return new_delta, bp

@@ -139,18 +139,13 @@ def _sparse_block_fold(alpha, log_lik, plan, edge_probs, E_block, q):
     the previous position), so the caller handles the first-emission /
     no-transition special case of stream start.
     """
-    from .ops.sparse import _segsum
+    from .ops.sparse import _scaled_fwd_step
 
     w = edge_probs[..., plan.perm_d][:, None, :]
     Et = jnp.moveaxis(E_block, 2, 0)
-
-    def step(carry, e_t):
-        a, ll = carry
-        r = _segsum(a[..., plan.src_d] * w, plan.dst_d, q)
-        s = _clamped(e_t) * _clamped(r)
-        z = jnp.sum(s, axis=-1, keepdims=True)
-        return (s / z, ll + jnp.log(z[..., 0])), None
-
+    # The canonical single-sourced forward step — blockwise parity with
+    # sparse_log_likelihood depends on using exactly this recursion.
+    step = _scaled_fwd_step(w, plan.src_d, plan.dst_d, q, emit_log=False)
     (a, ll), _ = lax.scan(step, (alpha, log_lik), Et)
     return StreamingForwardState(jnp.log(a), ll)
 

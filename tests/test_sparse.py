@@ -806,3 +806,46 @@ class TestFusedPosteriorCE:
             np.testing.assert_allclose(
                 np.asarray(b2) / scale, np.asarray(a) / scale, atol=1e-4
             )
+
+
+def test_fused_ce_soft_mask_gradient():
+    """The mask is a real operand of the CE objective: a soft/learned
+    label_mask must receive its true (nonzero) gradient from the fused
+    path, identical to the unfused formula (review finding round 5)."""
+    trans = GenePredMultiTransitions(k=2)
+    params = trans.init_params(KEY)
+    init = trans.make_initial_distribution(params)
+    indices, probs = trans.make_A_sparse(params)
+    rng = np.random.default_rng(0)
+    q = trans.num_states
+    E = _emissions(rng, 1, 3, 24, q)
+    lab = jnp.asarray(rng.integers(0, q, (1, 3, 24)))
+    mask = jnp.asarray(rng.uniform(0.2, 1.0, (1, 3, 24)), jnp.float32)
+
+    def unfused(mk):
+        lg, _ = sparse.sparse_posterior(init, indices, probs, E)
+        ce = -jnp.take_along_axis(lg, lab[..., None], -1)[..., 0]
+        return jnp.sum(ce * mk) / jnp.maximum(jnp.sum(mk), 1.0)
+
+    def fused(mk):
+        return sparse.sparse_posterior_cross_entropy(
+            init, indices, probs, E, lab, label_mask=mk, backward_block=12
+        )
+
+    g1 = np.asarray(jax.grad(unfused)(mask))
+    g2 = np.asarray(jax.grad(fused)(mask))
+    assert np.abs(g1).max() > 0
+    np.testing.assert_allclose(g2, g1, rtol=1e-4, atol=1e-8)
+
+
+def test_taped_plus_backward_block_raises():
+    trans = GenePredMultiTransitions(k=2)
+    params = trans.init_params(KEY)
+    init = trans.make_initial_distribution(params)
+    indices, probs = trans.make_A_sparse(params)
+    rng = np.random.default_rng(0)
+    E = _emissions(rng, 1, 2, 12, trans.num_states)
+    with pytest.raises(ValueError, match="analytic_vjp"):
+        sparse.sparse_posterior(
+            init, indices, probs, E, analytic_vjp=False, backward_block=6
+        )
