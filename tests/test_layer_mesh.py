@@ -485,3 +485,23 @@ class TestSparseStateShardedLayer:
             np.asarray(dense.log_likelihood(params, x)),
             rtol=1e-5, atol=1e-5,
         )
+
+
+class TestSparseDataParallelAux:
+    def test_sample_paths_and_ce_through_dp_route(self):
+        """sample_paths + posterior_cross_entropy on a data-parallel
+        sparse layer (both route through the edge-list implementations
+        with the batch axis pinned to the mesh)."""
+        mesh = sharding.make_mesh({"data": 4})
+        dense, meshed, params, q = _sparse_layers({"batch": "data"}, mesh)
+        x = _inputs(4, 24, q)
+        paths = meshed.sample_paths(params, x, jax.random.PRNGKey(0), 2)
+        assert paths.shape == (1, 4, 2, 24)
+        assert int(np.asarray(paths).max()) < q
+        rng = np.random.default_rng(0)
+        labels = jnp.asarray(rng.integers(0, q, (1, 4, 24)))
+        ce_dp = meshed.posterior_cross_entropy(params, x, labels)
+        ce_ref = dense.posterior_cross_entropy(params, x, labels)
+        np.testing.assert_allclose(
+            float(ce_dp), float(ce_ref), rtol=1e-5
+        )
