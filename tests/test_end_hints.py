@@ -207,3 +207,55 @@ class TestProfileChunkHints:
         np.testing.assert_allclose(
             masked, mask_oracle(unmasked, hints), rtol=1e-6
         )
+
+
+class TestEndHintsSparseRoute:
+    """end_hints apply to emissions BEFORE the engine, so the sparse
+    edge-list route must honor them identically to the dense route."""
+
+    def test_sparse_viterbi_and_ce_honor_hints(self):
+        from hmm_layer_tpu.models import GenePredMultiTransitions
+
+        class RawE:
+            def init_params(self, key, input_dim):
+                return {}
+
+            def emissions(self, p, x, end_hints=None, training=False):
+                from hmm_layer_tpu.models.emission_utils import (
+                    apply_end_hints,
+                )
+
+                return apply_end_hints(x, end_hints)
+
+            def prior_log_density(self, p):
+                return jnp.zeros((1,))
+
+            def aux_loss(self, p):
+                return jnp.zeros(())
+
+        trans_s = GenePredMultiTransitions(k=2, sparse_forward=True)
+        trans_d = GenePredMultiTransitions(k=2)
+        q = trans_s.num_states
+        sparse_layer = HMMLayer(trans_s, RawE(), use_prior=False)
+        dense_layer = HMMLayer(trans_d, RawE(), use_prior=False)
+        params = sparse_layer.init_params(jax.random.PRNGKey(0), q)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.uniform(0.1, 1.0, (1, 2, 12, q)), jnp.float32)
+        # clamp the sequence borders to state 0 (intergenic)
+        hints = (
+            jnp.zeros((1, 2, 2, q))
+            .at[:, :, 0, :].set(jax.nn.one_hot(0, q))
+            .at[:, :, 1, :].set(jax.nn.one_hot(0, q))
+        )
+        v_s = np.asarray(sparse_layer.viterbi(params, x, end_hints=hints))
+        v_d = np.asarray(dense_layer.viterbi(params, x, end_hints=hints))
+        np.testing.assert_array_equal(v_s, v_d)
+        assert (v_s[..., 0] == 0).all() and (v_s[..., -1] == 0).all()
+        labels = jnp.asarray(rng.integers(0, q, (1, 2, 12)))
+        ce_s = sparse_layer.posterior_cross_entropy(
+            params, x, labels, end_hints=hints
+        )
+        ce_d = dense_layer.posterior_cross_entropy(
+            params, x, labels, end_hints=hints
+        )
+        np.testing.assert_allclose(float(ce_s), float(ce_d), rtol=1e-5)
