@@ -11,9 +11,46 @@ negligible at build time and XLA-friendly (no sparse formats on TPU).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..ops.semiring import LOG_ZERO
+
+
+def dense_from_edge_probs(indices, edge_probs, num_states):
+    """Densify per-edge values WITHOUT any scatter: one one-hot matmul.
+
+    ``A[..., i, j] = sum_{e: src=i, dst=j} w_e`` computed as
+    ``(OneHotSrc ⊙ w)ᵀ @ OneHotDst`` with iota-comparison one-hots — the
+    ``.at[src, dst].set`` scatter build crashes/hangs the axon TPU
+    compiler at q ≈ 500 (BASELINE.md round 3), while this formulation is
+    one MXU-friendly ``(q, n) x (n, q)`` contraction that compiles and
+    runs at config-5 state counts. HIGHEST precision: the one-hots are
+    exact in any precision but bf16 would round the *values* operand.
+
+    Args:
+        indices: (n_edges, 2) static int array of (from, to) pairs.
+        edge_probs: (..., n_edges) traced values (leading axes broadcast).
+        num_states: q.
+
+    Returns:
+        (..., q, q) dense matrix; entries off the edge support are 0.
+    """
+    indices = np.asarray(indices)
+    states = jnp.arange(num_states)
+    oh_src = (
+        jnp.asarray(indices[:, 0])[:, None] == states[None, :]
+    ).astype(edge_probs.dtype)  # (n, q)
+    oh_dst = (
+        jnp.asarray(indices[:, 1])[:, None] == states[None, :]
+    ).astype(edge_probs.dtype)
+    return jnp.einsum(
+        "...e,eq,er->...qr",
+        edge_probs,
+        oh_src,
+        oh_dst,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def masked_row_softmax_from_edges(indices, values, num_states):
@@ -28,22 +65,15 @@ def masked_row_softmax_from_edges(indices, values, num_states):
         (q, q) matrix; each row softmaxes its allowed edges, rows without any
         edge are all-zero.
 
-    Note (axon toolchain): the dense scatter-set build hangs the TPU
-    compiler at q ~ 500 (observed 2026-08-19, q=505: >20 min compile /
-    worker crash). For large multi-copy models use
-    :func:`sparse_edge_softmax` + :mod:`hmm_layer_tpu.ops.sparse`, which
-    are hardware-verified at q=505.
+    Implementation: per-edge softmax over each row's out-edges
+    (:func:`sparse_edge_softmax`, O(n) segment ops) densified by the
+    scatter-free one-hot matmul (:func:`dense_from_edge_probs`) — the
+    previous ``.at[].set`` scatter build crashed the axon TPU compiler at
+    q ≈ 500 and capped the DENSE engine below config-5 state counts;
+    this build compiles there (hardware-verified at q=505).
     """
-    indices = np.asarray(indices)
-    dense = jnp.full((num_states, num_states), LOG_ZERO, values.dtype)
-    dense = dense.at[indices[:, 0], indices[:, 1]].set(
-        jnp.maximum(values, LOG_ZERO + 1.0)
-    )
-    mask = np.zeros((num_states, num_states), np.float32)
-    mask[indices[:, 0], indices[:, 1]] = 1.0
-    probs = jnp.exp(dense - jnp.max(dense, axis=-1, keepdims=True)) * mask
-    denom = jnp.sum(probs, axis=-1, keepdims=True)
-    return probs / jnp.maximum(denom, 1e-16)
+    probs = sparse_edge_softmax(indices, values, num_states)
+    return dense_from_edge_probs(indices, probs, num_states)
 
 
 def gather_edge_probs(A, indices):

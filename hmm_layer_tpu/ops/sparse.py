@@ -14,14 +14,16 @@ TPU mapping: edges are statically pre-sorted by destination (forward) /
 source (backward) so every reduction is a sorted leading-axis
 ``segment_sum``/``segment_max`` — the scatter lowering the TPU compiler
 handles best. Hardware-verified at q=505 (loglik parity 1.4e-4 vs an f64
-oracle, valid Viterbi, finite grads) on the axon toolchain, where the
-DENSE ``(q, q)`` scatter-set build (``masked_row_softmax_from_edges``)
-hangs the compiler at that size — the sparse path is also the only way
-to RUN large-q gene-pred models there. No MXU mapping exists for sparse
-contractions; this trades
-peak FLOP/s for O(q²→n) memory and bandwidth, the right trade exactly
-when the dense matrix would not fit or sparsity ≪ 1/8 (the Plan7 /
-gene-pred regimes).
+oracle, valid Viterbi, finite grads). No MXU mapping exists for sparse
+contractions; this trades peak FLOP/s for O(q²→n) memory and bandwidth.
+WHEN TO USE (round-5 guidance): the scatter-free dense build
+(``models.transition_utils.dense_from_edge_probs``) unlocked the DENSE
+engine at config-5 state counts, and it is 3.5-5.3x faster there (a 505²
+A is 1 MB; BASELINE.md round 5) — choose ``sparse_forward`` when the
+O(q²) dense matrix itself is the wall (q ≳ several thousand; q=14,001 →
+0.78 GB/model), for edge-sharded capacity scaling
+(``parallel.sparse_sharding``), or for the fused/blocked CE memory
+modes below.
 
 Gradients: :func:`sparse_log_likelihood` and :func:`sparse_posterior`
 carry analytic ``custom_vjp`` adjoints over the edge lists (Baum-Welch

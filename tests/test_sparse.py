@@ -849,3 +849,22 @@ def test_taped_plus_backward_block_raises():
         sparse.sparse_posterior(
             init, indices, probs, E, analytic_vjp=False, backward_block=6
         )
+
+
+def test_dense_from_edge_probs_matches_scatter_oracle():
+    """The scatter-free one-hot-matmul densify (the build that compiles at
+    config-5 q where .at[].set crashes the axon compiler) is exact vs the
+    scatter construction."""
+    from hmm_layer_tpu.models.transition_utils import dense_from_edge_probs
+
+    rng = np.random.default_rng(0)
+    q, n = 23, 61
+    idx = np.stack(
+        [rng.integers(0, q, n), rng.integers(0, q, n)], axis=1
+    )
+    idx = np.unique(idx, axis=0)
+    w = jnp.asarray(rng.uniform(0.1, 1.0, (2, len(idx))), jnp.float32)
+    got = np.asarray(dense_from_edge_probs(idx, w, q))
+    oracle = np.zeros((2, q, q), np.float32)
+    oracle[:, idx[:, 0], idx[:, 1]] = np.asarray(w)
+    np.testing.assert_allclose(got, oracle, atol=1e-7)
