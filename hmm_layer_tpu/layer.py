@@ -158,6 +158,24 @@ class HMMLayer:
                 "hmm_layer_tpu.parallel.sharding directly"
             )
 
+    def _pad_state(self, init, A, E):
+        """Pad q up to a multiple of the state-axis size (the sharded
+        engine requires divisibility). Pad states have zero init, all-zero
+        A rows/columns and zero emissions: the engine's EPS clamps give
+        them per-step mass ~1e-32 (f32-invisible against real
+        normalizers) and max-plus scores ~-74/step below any real path —
+        they never affect results. Returns the original q for slicing."""
+        n = self.mesh.shape[self.partition["state"]]
+        q = E.shape[-1]
+        q_pad = -(-q // n) * n
+        if q_pad == q:
+            return init, A, E, q
+        dp = q_pad - q
+        init = jnp.pad(init, ((0, 0), (0, dp)))
+        A = jnp.pad(A, ((0, 0), (0, dp), (0, dp)))
+        E = jnp.pad(E, ((0, 0),) * (E.ndim - 1) + ((0, dp),))
+        return init, A, E, q
+
     def _dispatch_log_likelihood(self, init, A, E):
         route = self._route()
         if route in ("dense", "data"):
@@ -167,11 +185,13 @@ class HMMLayer:
         from .parallel import sharding
 
         if route == "state":
+            pf = self._pf(E)
+            init, A, E, _ = self._pad_state(init, A, E)
             return sharding.state_sharded_log_likelihood(
                 init, A, E, self.mesh,
                 state_axis=self.partition["state"],
                 data_axis=self.partition.get("batch"),
-                parallel_factor=self._pf(E),
+                parallel_factor=pf,
             )
         return sharding.seq_sharded_log_likelihood(
             init, A, E, self.mesh,
@@ -191,13 +211,16 @@ class HMMLayer:
         from .parallel import sharding
 
         if route == "state":
-            return sharding.state_sharded_posterior(
+            pf = self._pf(E)
+            init, A, E, q = self._pad_state(init, A, E)
+            lg, ll = sharding.state_sharded_posterior(
                 init, A, E, self.mesh,
                 state_axis=self.partition["state"],
                 data_axis=self.partition.get("batch"),
                 no_loglik=no_loglik,
-                parallel_factor=self._pf(E),
+                parallel_factor=pf,
             )
+            return lg[..., :q], ll
         return sharding.seq_sharded_posterior(
             init, A, E, self.mesh,
             seq_axis=self.partition["seq"],
@@ -215,6 +238,7 @@ class HMMLayer:
         from .parallel import sharding
 
         if route == "state":
+            init, A, E, _ = self._pad_state(init, A, E)
             return sharding.state_sharded_viterbi(
                 init, A, E, self.mesh,
                 state_axis=self.partition["state"],

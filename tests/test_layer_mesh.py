@@ -505,3 +505,58 @@ class TestSparseDataParallelAux:
         np.testing.assert_allclose(
             float(ce_dp), float(ce_ref), rtol=1e-5
         )
+
+
+class TestDenseStateAutoPad:
+    """The dense state-sharded route auto-pads q to the axis size (the
+    config-5 dense engine at q=505 over 8 shards needs 512; round 5)."""
+
+    def test_indivisible_q_matches_dense(self):
+        from hmm_layer_tpu.models import GenePredMultiTransitions
+
+        trans = GenePredMultiTransitions(k=2)  # q = 29 -> pads to 32
+        q = trans.num_states
+        mesh = sharding.make_mesh({"state": 4})
+        dense = HMMLayer(trans, IdentityEmitter(q), use_prior=False)
+        meshed = HMMLayer(
+            trans, IdentityEmitter(q), use_prior=False,
+            mesh=mesh, partition={"state": "state"},
+        )
+        params = dense.init_params(KEY, input_dim=q)
+        x = _inputs(3, 24, q)
+        np.testing.assert_allclose(
+            np.asarray(meshed.log_likelihood(params, x)),
+            np.asarray(dense.log_likelihood(params, x)),
+            rtol=1e-5, atol=1e-5,
+        )
+        lg_m = np.asarray(meshed.state_posterior_log_probs(params, x))
+        lg_d = np.asarray(dense.state_posterior_log_probs(params, x))
+        assert lg_m.shape == lg_d.shape  # padded states sliced away
+        np.testing.assert_allclose(lg_m, lg_d, atol=5e-5)
+        np.testing.assert_array_equal(
+            np.asarray(meshed.viterbi(params, x)),
+            np.asarray(dense.viterbi(params, x)),
+        )
+
+    def test_grads_through_padded_state_route(self):
+        from hmm_layer_tpu.models import GenePredMultiTransitions
+
+        trans = GenePredMultiTransitions(k=2)
+        q = trans.num_states
+        mesh = sharding.make_mesh({"state": 4})
+        dense = HMMLayer(trans, IdentityEmitter(q), use_prior=False)
+        meshed = HMMLayer(
+            trans, IdentityEmitter(q), use_prior=False,
+            mesh=mesh, partition={"state": "state"},
+        )
+        params = dense.init_params(KEY, input_dim=q)
+        x = _inputs(3, 16, q)
+        g_d = jax.grad(lambda p: dense.loss(p, x))(params)
+        g_m = jax.grad(lambda p: meshed.loss(p, x))(params)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_d), jax.tree_util.tree_leaves(g_m)
+        ):
+            scale = np.abs(np.asarray(a)).max() + 1e-9
+            np.testing.assert_allclose(
+                np.asarray(b) / scale, np.asarray(a) / scale, atol=1e-4
+            )
