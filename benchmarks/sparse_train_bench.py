@@ -39,6 +39,11 @@ def main():
                          "of O(L*q) residuals; whole-batch b=64 route)")
     ap.add_argument("--only", choices=["map", "ce"], default=None,
                     help="run a single objective")
+    ap.add_argument("--engine", choices=["sparse", "dense"],
+                    default="sparse",
+                    help="dense = the scatter-free-build dense engine "
+                         "(round 5: 3.5-5.3x faster at q=505; sparse "
+                         "remains the route past the O(q^2) A wall)")
     args = ap.parse_args()
 
     import jax
@@ -67,20 +72,43 @@ def main():
     )
     labels = jnp.asarray(rng.integers(0, q, size=(1, args.b, args.L)))
 
-    def map_loss(kern, e, lab=None):
-        probs = sparse_edge_softmax(indices, kern, q)[None]
-        return -jnp.mean(sparse.sparse_log_likelihood(init_dist, indices, probs, e))
+    if args.engine == "dense":
+        from hmm_layer_tpu.models.transition_utils import (
+            dense_from_edge_probs,
+        )
+        from hmm_layer_tpu.ops import recursion
 
-    def ce_loss(kern, e, lab=None):
-        probs = sparse_edge_softmax(indices, kern, q)[None]
-        lg, _ = sparse.sparse_posterior(
-            init_dist, indices, probs, e,
-            backward_block=args.backward_block,
-        )
-        lab = labels if lab is None else lab
-        return -jnp.mean(
-            jnp.take_along_axis(lg, lab[..., None], axis=-1)
-        )
+        def make_A(kern):
+            return dense_from_edge_probs(
+                indices, sparse_edge_softmax(indices, kern, q), q
+            )[None]
+
+        def map_loss(kern, e, lab=None):
+            return -jnp.mean(
+                recursion.log_likelihood(init_dist, make_A(kern), e)
+            )
+
+        def ce_loss(kern, e, lab=None):
+            lg, _ = recursion.posterior(init_dist, make_A(kern), e)
+            lab = labels if lab is None else lab
+            return -jnp.mean(
+                jnp.take_along_axis(lg, lab[..., None], axis=-1)
+            )
+    else:
+        def map_loss(kern, e, lab=None):
+            probs = sparse_edge_softmax(indices, kern, q)[None]
+            return -jnp.mean(sparse.sparse_log_likelihood(init_dist, indices, probs, e))
+
+        def ce_loss(kern, e, lab=None):
+            probs = sparse_edge_softmax(indices, kern, q)[None]
+            lg, _ = sparse.sparse_posterior(
+                init_dist, indices, probs, e,
+                backward_block=args.backward_block,
+            )
+            lab = labels if lab is None else lab
+            return -jnp.mean(
+                jnp.take_along_axis(lg, lab[..., None], axis=-1)
+            )
 
     def slope(loss_fn, label):
         if args.microbatch:
@@ -156,14 +184,14 @@ def main():
     )
 
     if args.only in (None, "map"):
-        slope(map_loss, "MAP train step (sparse analytic VJP)")
+        slope(map_loss, f"MAP train step ({args.engine} analytic VJP)")
     if args.only in (None, "ce"):
         tag = (
             f" blocked bwd c={args.backward_block}"
             if args.backward_block
             else ""
         )
-        slope(ce_loss, f"posterior-CE train step (sparse analytic VJP{tag})")
+        slope(ce_loss, f"posterior-CE train step ({args.engine} analytic VJP{tag})")
 
 
 if __name__ == "__main__":
