@@ -18,10 +18,11 @@ oracle, valid Viterbi, finite grads). No MXU mapping exists for sparse
 contractions; this trades peak FLOP/s for O(q²→n) memory and bandwidth.
 WHEN TO USE (round-5 guidance): the scatter-free dense build
 (``models.transition_utils.dense_from_edge_probs``) unlocked the DENSE
-engine at config-5 state counts, and it is 3.5-5.3x faster there (a 505²
-A is 1 MB; BASELINE.md round 5) — choose ``sparse_forward`` when the
-O(q²) dense matrix itself is the wall (q ≳ several thousand; q=14,001 →
-0.78 GB/model), for edge-sharded capacity scaling
+engine at config-5 state counts, and it is 3.5-11.7x faster there (a
+505² A is 1 MB; BASELINE.md round 5). The measured crossover sits at
+q ≈ 4-8k (dense still 1.4x at q=4089; sparse wins by q=8191 where the
+256 MB A's per-step HBM traffic dominates) — choose ``sparse_forward``
+beyond that, for edge-sharded capacity scaling
 (``parallel.sparse_sharding``), or for the fused/blocked CE memory
 modes below.
 
