@@ -22,7 +22,9 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -45,6 +47,9 @@ def main():
                          "(round 5: 3.5-5.3x faster at q=505; sparse "
                          "remains the route past the O(q^2) A wall)")
     args = ap.parse_args()
+    if args.engine == "dense" and args.backward_block:
+        ap.error("--backward-block applies to the sparse engine only "
+                 "(the dense posterior VJP has no blocked mode)")
 
     import jax
     import jax.numpy as jnp

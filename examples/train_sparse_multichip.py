@@ -13,7 +13,10 @@ through the flagship API (no hand-rolled sharding):
 
 Runs on any device count (use the virtual CPU mesh to try it:
 ``XLA_FLAGS=--xla_force_host_platform_device_count=8``
-``JAX_PLATFORMS=cpu python examples/train_sparse_multichip.py``).
+``JAX_PLATFORMS=cpu python examples/train_sparse_multichip.py`` — the
+script force-selects the CPU platform via jax.config when that env var
+is set, which the env var alone does not guarantee on hosts that
+auto-register an accelerator plugin).
 """
 
 import os
@@ -24,6 +27,12 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # An env var alone does not override auto-registered accelerator
+    # plugins (e.g. sitecustomize TPU hooks); the config call does.
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 from hmm_layer_tpu.layer import HMMLayer

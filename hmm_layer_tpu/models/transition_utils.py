@@ -72,6 +72,10 @@ def masked_row_softmax_from_edges(indices, values, num_states):
     q ≈ 500 and capped the DENSE engine below config-5 state counts;
     this build compiles there (hardware-verified at q=505).
     """
+    # Clamp like the old scatter build did: a row whose edge logits are
+    # ALL -inf would make the per-row softmax NaN (shifted = -inf+inf);
+    # clamped it degrades to a uniform row over that row's edges.
+    values = jnp.maximum(values, LOG_ZERO + 1.0)
     probs = sparse_edge_softmax(indices, values, num_states)
     return dense_from_edge_probs(indices, probs, num_states)
 

@@ -1097,10 +1097,13 @@ def _sparse_ce_fused_bwd(plan, no_loglik, block, res, g):
         ct_blk, sig, jnp.zeros(ll.shape, E.dtype),
     )
     f0 = np.zeros(labels.shape, jax.dtypes.float0)
-    # d ce / d w_t = (-lg_lab_t - ce) / N  (quotient rule on -S/N); the
+    # d ce / d w_t: quotient rule on -S_lg/N with N = max(sum(w), 1) —
+    # the -ce/N term exists only while the clamp is INACTIVE (sum(w) > 1;
+    # below it N is the constant 1 and only the numerator varies). The
     # mask is a real operand of the objective, so a soft/learned mask
     # must receive its true gradient (the unfused path does).
-    g_w = g * (-lg_lab - ce) / N
+    dN = (jnp.sum(w) > 1.0).astype(w.dtype)
+    g_w = g * (-lg_lab - ce * dN) / N
     return ginit, g_edge, gE, f0, g_w
 
 

@@ -868,3 +868,46 @@ def test_dense_from_edge_probs_matches_scatter_oracle():
     oracle = np.zeros((2, q, q), np.float32)
     oracle[:, idx[:, 0], idx[:, 1]] = np.asarray(w)
     np.testing.assert_allclose(got, oracle, atol=1e-7)
+
+
+def test_fused_ce_mask_gradient_with_active_clamp():
+    """sum(mask) <= 1 activates the max(sum, 1) clamp: N is then constant
+    and the quotient-rule -ce/N term must vanish (second review finding)."""
+    trans = GenePredMultiTransitions(k=2)
+    params = trans.init_params(KEY)
+    init = trans.make_initial_distribution(params)
+    indices, probs = trans.make_A_sparse(params)
+    rng = np.random.default_rng(0)
+    q = trans.num_states
+    E = _emissions(rng, 1, 1, 8, q)
+    lab = jnp.asarray(rng.integers(0, q, (1, 1, 8)))
+    mask = jnp.zeros((1, 1, 8)).at[0, 0, 2].set(0.3).at[0, 0, 5].set(0.2)
+
+    def unfused(mk):
+        lg, _ = sparse.sparse_posterior(init, indices, probs, E)
+        ce = -jnp.take_along_axis(lg, lab[..., None], -1)[..., 0]
+        return jnp.sum(ce * mk) / jnp.maximum(jnp.sum(mk), 1.0)
+
+    def fused(mk):
+        return sparse.sparse_posterior_cross_entropy(
+            init, indices, probs, E, lab, label_mask=mk, backward_block=4
+        )
+
+    g1 = np.asarray(jax.grad(unfused)(mask))
+    g2 = np.asarray(jax.grad(fused)(mask))
+    np.testing.assert_allclose(g2, g1, rtol=1e-5, atol=1e-7)
+
+
+def test_masked_row_softmax_all_neg_inf_row_stays_finite():
+    """A row whose edge logits are all -inf degrades to a uniform row over
+    its edges (the old scatter build's behavior), not NaN."""
+    from hmm_layer_tpu.models.transition_utils import (
+        masked_row_softmax_from_edges,
+    )
+
+    idx = np.array([[0, 0], [0, 1], [1, 0], [1, 1]])
+    vals = jnp.asarray([-np.inf, -np.inf, 0.3, 0.7], jnp.float32)
+    A = np.asarray(masked_row_softmax_from_edges(idx, vals, 3))
+    assert np.all(np.isfinite(A))
+    np.testing.assert_allclose(A[0, :2], 0.5, atol=1e-6)
+    np.testing.assert_allclose(A.sum(-1)[:2], 1.0, atol=1e-6)
